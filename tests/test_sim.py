@@ -1,0 +1,118 @@
+"""Env suite tests: reset/step/spaces/render smoke + task semantics
+(the tier the reference only had for inherited framework envs,
+tests/test_envs.py:39-102 — here it covers the paper's own tasks)."""
+
+import numpy as np
+import pytest
+
+from imitation_from_observation_tpu.core.config import EnvConfig
+from imitation_from_observation_tpu.sim import ENV_REGISTRY, NormalizedEnv, VecEnv, make_env
+
+ALL = sorted(ENV_REGISTRY)
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_reset_step_spaces(name):
+    env = make_env(name, EnvConfig(name=name, render_frames=False, seed=0))
+    obs = env.reset()
+    assert env.observation_space.contains(obs)
+    for _ in range(3):
+        a = env.action_space.sample(np.random.default_rng(0))
+        obs, r, done, info = env.step(a)
+        assert env.observation_space.contains(obs)
+        assert r == 0.0 and not done
+        assert "reward_true" in info
+    env.close()
+
+
+@pytest.mark.parametrize("name", ["pusher3dof", "cleaner", "striker"])
+def test_render_frames_on_odd_steps(name):
+    env = make_env(name, EnvConfig(name=name, image_size=(48, 48), render_size=(100, 100), seed=1))
+    env.reset()
+    a = np.zeros(env.action_space.flat_dim)
+    _, _, _, info0 = env.step(a)  # itr 0 -> no frame
+    assert info0["frames"] is None
+    _, _, _, info1 = env.step(a)  # itr 1 -> frame
+    assert info1["frames"] is not None
+    assert info1["frames"].shape == (1, 48, 48, 3)
+    assert info1["frames"].dtype == np.uint8
+    assert info1["frames"].max() > 0  # not a black frame
+    env.close()
+
+
+def test_multi_viewpoint_frames():
+    env = make_env("striker", EnvConfig(name="striker", image_size=(48, 48), render_size=(100, 100), n_viewpoints=3, viewpoint=(0.0, 120.0, 240.0), seed=2))
+    env.reset()
+    a = np.zeros(env.action_space.flat_dim)
+    env.step(a)
+    _, _, _, info = env.step(a)
+    assert info["frames"].shape == (3, 48, 48, 3)
+    # distinct azimuths must give distinct images
+    assert not np.array_equal(info["frames"][0], info["frames"][1])
+    env.close()
+
+
+def test_reward_true_final_step_only():
+    env = make_env("pusher3dof", EnvConfig(name="pusher3dof", horizon=10, render_frames=False, seed=3))
+    env.reset()
+    a = np.zeros(env.action_space.flat_dim)
+    trues = [env.step(a)[3]["reward_true"] for _ in range(10)]
+    assert all(t == 0.0 for t in trues[:-1])
+    assert trues[-1] != 0.0  # final/initial distance ratio (negative)
+    assert trues[-1] < 0.0
+    env.close()
+
+
+def test_pusher_context_randomization():
+    c1 = make_env("pusher3dof", EnvConfig(name="pusher3dof", render_frames=False, seed=10))
+    c1.reset()
+    rgba_a = c1.model.geom_rgba.copy()
+    c1.seed(11)
+    c1.reset()
+    rgba_b = c1.model.geom_rgba.copy()
+    assert not np.allclose(rgba_a, rgba_b)  # distractor colors resampled
+    # deterministic geoms override
+    geoms = tuple(((0.1, 0.2, 0.3, 1.0), 0.5, 0.5) for _ in range(5))
+    c2 = make_env("pusher3dof", EnvConfig(name="pusher3dof", render_frames=False, geoms=geoms, seed=12))
+    c2.reset()
+    gid = c2.geom_id("object0")
+    np.testing.assert_allclose(c2.model.geom_rgba[gid], [0.1, 0.2, 0.3, 1.0])
+    c1.close(); c2.close()
+
+
+def test_determinism_same_seed():
+    def run(seed):
+        env = make_env("pusher3dof", EnvConfig(name="pusher3dof", render_frames=False, seed=seed))
+        env.seed(seed)
+        obs = [env.reset()]
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            obs.append(env.step(rng.uniform(-1, 1, 3))[0])
+        env.close()
+        return np.stack(obs)
+
+    np.testing.assert_allclose(run(42), run(42))
+    assert not np.allclose(run(42), run(43))
+
+
+def test_normalized_env_action_rescale():
+    env = NormalizedEnv(make_env("pusher3dof", EnvConfig(name="pusher3dof", render_frames=False)))
+    env.reset()
+    obs, r, d, info = env.step(np.array([1.0, -1.0, 0.0]))  # maps to [3, -3, 0]
+    assert env.action_space.flat_dim == 3
+    np.testing.assert_allclose(env.action_space.high, 1.0)
+    env.close()
+
+
+def test_vec_env_lockstep_and_autoreset():
+    vec = VecEnv(
+        [lambda i=i: make_env("pusher3dof", EnvConfig(name="pusher3dof", render_frames=False, seed=i)) for i in range(3)],
+        max_path_length=4,
+    )
+    obs = vec.reset()
+    assert obs.shape[0] == 3
+    for t in range(4):
+        obs, rewards, dones, infos = vec.step(np.zeros((3, 3)))
+    assert dones.all()  # auto-reset at max_path_length
+    assert obs.shape[0] == 3
+    vec.close()

@@ -1,0 +1,69 @@
+"""Trainer integration test on the 8-device CPU mesh with synthetic demos."""
+
+import os
+
+import numpy as np
+
+from imitation_from_observation_tpu.core.config import TrainConfig, TranslationModelConfig
+from imitation_from_observation_tpu.train import TranslationTrainer
+
+
+def _synthetic_vdata(T=8, N=12, hw=16, seed=0):
+    """Moving-dot videos: context = background color, motion = shared across
+    contexts, so translation is actually learnable."""
+    rng = np.random.default_rng(seed)
+    vdata = np.zeros((T, N, hw, hw, 3), np.float32)
+    for n in range(N):
+        bg = rng.uniform(-0.8, 0.8, 3)
+        vdata[:, n] = bg
+        for t in range(T):
+            x = int((t / T) * (hw - 4))
+            vdata[t, n, 6:10, x : x + 4] = 1.0
+    return vdata
+
+
+def test_trainer_end_to_end(tmp_path):
+    vdata = _synthetic_vdata()
+    model_cfg = TranslationModelConfig(
+        model="context_skip", image_size=(16, 16), base_filters=8, feat_size=32
+    )
+    cfg = TrainConfig(
+        batch_size=16,
+        n_train=9,
+        n_iters=60,
+        eval_every=20,
+        save_every=60,
+        log_every=20,
+        learning_rate=1e-3,
+        seed=0,
+    )
+    tr = TranslationTrainer(model_cfg, cfg, vdata, log_dir=str(tmp_path))
+    assert tr.batch_size % tr.mesh.devices.size == 0
+
+    src, ctx, tgt = tr._device_batch(tr.valid_sampler.sample())
+    m0, _ = tr._eval_step(tr.state.params, src, ctx, tgt)
+    tr.train()
+    m1, _ = tr._eval_step(tr.state.params, src, ctx, tgt)
+    assert float(m1["loss"]) < float(m0["loss"])
+
+    # checkpoint + gifs + validloss written at save_every
+    ckdir = tmp_path / "checkpoints" / "60"
+    assert ckdir.exists()
+    names = os.listdir(ckdir)
+    assert any(n.startswith("model_60_") and n.endswith(".npz") for n in names)
+    assert "validloss.npy" in names
+    assert sum(n.endswith("trans.gif") for n in names) == 10
+    # progress.csv has the reference's tabular schema
+    header = (tmp_path / "progress.csv").read_text().splitlines()[0]
+    for col in ["Iteration", "Loss", "Sim", "R1", "R2", "NNErr"]:
+        assert col in header
+
+
+def test_trainer_dropout_model(tmp_path):
+    """context_small trains (dropout rng threading works under jit)."""
+    vdata = _synthetic_vdata(T=4, N=6, hw=16)
+    model_cfg = TranslationModelConfig(model="context_small", image_size=(16, 16), feat_size=100)
+    cfg = TrainConfig(batch_size=8, n_train=4, n_iters=4, eval_every=4, save_every=100, log_every=100)
+    tr = TranslationTrainer(model_cfg, cfg, vdata, log_dir=str(tmp_path))
+    tr.train()
+    assert int(tr.state.step) == 4
