@@ -1,0 +1,77 @@
+"""The batch policy-optimization loop.
+
+Reference ``rllab/algos/batch_polopt.py:117-143``: per iteration, obtain
+samples -> (visual reward splice) -> process samples (GAE + baseline fit) ->
+optimize policy -> snapshot + tabular dump. The reward engine slots in
+between sampling and GAE exactly like ``BaseSampler.process_samples``
+(rllab/sampler/base.py:166-257) did.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+
+from imitation_from_observation_tpu.core.checkpoint import SnapshotManager
+from imitation_from_observation_tpu.core.config import RLConfig
+from imitation_from_observation_tpu.core.log import Logger, get_logger
+from imitation_from_observation_tpu.rl.gae import process_paths
+from imitation_from_observation_tpu.rl.sampler import VectorizedSampler
+
+
+class BatchPolopt:
+    def __init__(
+        self,
+        vec_env,
+        policy,
+        baseline,
+        optimizer,  # TRPO or VPG
+        config: RLConfig,
+        reward_engine=None,  # optional: splices visual rewards into paths
+        log_dir: str | None = None,
+        logger: Logger | None = None,
+    ):
+        self.vec_env = vec_env
+        self.policy = policy
+        self.baseline = baseline
+        self.optimizer = optimizer
+        self.cfg = config
+        self.reward_engine = reward_engine
+        self.log = logger or get_logger(log_dir)
+        self.snapshots = SnapshotManager(
+            (log_dir or "data") + "/snapshots", config.snapshot_mode, config.snapshot_gap
+        )
+        self.sampler = VectorizedSampler(
+            vec_env, policy, config.batch_size, config.max_path_length, seed=config.seed
+        )
+
+    def train(self, n_iters: int | None = None) -> list[dict[str, float]]:
+        history = []
+        for itr in range(n_iters if n_iters is not None else self.cfg.n_iters):
+            with self.log.prefix(f"itr #{itr} | "):
+                with self.log.timed("Sample"):
+                    paths, timings = self.sampler.obtain_samples()
+                if self.reward_engine is not None:
+                    with self.log.timed("RewardEval"):
+                        self.reward_engine.process(paths)
+                with self.log.timed("Process"):
+                    samples = process_paths(
+                        paths,
+                        self.baseline,
+                        self.cfg.discount,
+                        self.cfg.gae_lambda,
+                        self.cfg.center_adv,
+                        self.cfg.positive_adv,
+                    )
+                with self.log.timed("Optimize"):
+                    opt_diag = self.optimizer.optimize(samples)
+                self.snapshots.save(itr, self.policy.params, meta={"itr": itr})
+                row = dict(Iteration=itr)
+                row.update(samples["diagnostics"])
+                row.update(opt_diag)
+                row.update(timings)
+                for k, v in row.items():
+                    self.log.record_tabular(k, v)
+                history.append(self.log.dump_tabular())
+        return history

@@ -1,0 +1,187 @@
+"""RL stack tests: distribution math, GAE, baseline, TRPO/VPG learning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imitation_from_observation_tpu.core.config import RLConfig
+from imitation_from_observation_tpu.rl import (
+    BatchPolopt,
+    GaussianMLPPolicy,
+    LinearFeatureBaseline,
+    TRPO,
+    VPG,
+    discount_cumsum,
+    process_paths,
+)
+from imitation_from_observation_tpu.rl import distributions as dg
+from imitation_from_observation_tpu.rl.sampler import VectorizedSampler, truncate_paths
+from imitation_from_observation_tpu.sim.base import Box
+
+
+class PointEnv:
+    """2-D point mass: action = velocity, reward = -|pos| (the rllab example
+    env pattern) — dense reward for fast algorithm tests."""
+
+    def __init__(self, seed=0):
+        self.rng = np.random.default_rng(seed)
+        self.action_space = Box(-np.ones(2) * 0.25, np.ones(2) * 0.25)
+        self.observation_space = Box(-np.full(2, np.inf), np.full(2, np.inf))
+
+    def seed(self, s):
+        self.rng = np.random.default_rng(s)
+
+    def reset(self):
+        self.pos = self.rng.uniform(-1, 1, 2)
+        return self.pos.astype(np.float32)
+
+    def step(self, a):
+        self.pos = self.pos + np.clip(a, -0.25, 0.25)
+        reward = -float(np.linalg.norm(self.pos))
+        return self.pos.astype(np.float32), reward, False, {}
+
+
+class _VecPoint:
+    def __init__(self, n, seed=0):
+        self.envs = [PointEnv(seed + i) for i in range(n)]
+        self.n_envs = n
+        self.action_space = self.envs[0].action_space
+        self.observation_space = self.envs[0].observation_space
+        self._t = np.zeros(n, int)
+        self.max_path = 20
+
+    def reset(self):
+        self._t[:] = 0
+        return np.stack([e.reset() for e in self.envs])
+
+    def step(self, actions):
+        obs, rs, ds, infos = [], [], [], []
+        for i, (e, a) in enumerate(zip(self.envs, actions)):
+            o, r, d, inf = e.step(a)
+            self._t[i] += 1
+            if self._t[i] >= self.max_path:
+                d, self._t[i] = True, 0
+                o = e.reset()
+            obs.append(o); rs.append(r); ds.append(d); infos.append(inf)
+        return np.stack(obs), np.asarray(rs), np.asarray(ds), infos
+
+
+def test_discount_cumsum():
+    x = np.array([1.0, 2.0, 3.0])
+    got = discount_cumsum(x, 0.5)
+    np.testing.assert_allclose(got, [1 + 2 * 0.5 + 3 * 0.25, 2 + 3 * 0.5, 3.0])
+
+
+def test_diagonal_gaussian_math():
+    info = {"mean": jnp.zeros((4, 2)), "log_std": jnp.zeros((4, 2))}
+    np.testing.assert_allclose(np.asarray(dg.kl(info, info)), 0, atol=1e-6)
+    # logli of mean action under unit gaussian = -0.5*d*log(2pi)
+    ll = dg.log_likelihood(jnp.zeros((4, 2)), info)
+    np.testing.assert_allclose(np.asarray(ll), -np.log(2 * np.pi), rtol=1e-6)
+    # entropy of unit gaussian = d/2 * log(2 pi e)
+    ent = dg.entropy(info)
+    np.testing.assert_allclose(np.asarray(ent), np.log(2 * np.pi * np.e), rtol=1e-6)
+    # KL(N(0,1) || N(1,1)) = 0.5 per dim
+    info2 = {"mean": jnp.ones((4, 2)), "log_std": jnp.zeros((4, 2))}
+    np.testing.assert_allclose(np.asarray(dg.kl(info, info2)), 1.0, rtol=1e-5)
+
+
+def test_policy_sampling_and_std():
+    pol = GaussianMLPPolicy(obs_dim=3, action_dim=2, init_std=10.0, seed=0)
+    obs = np.zeros((256, 3), np.float32)
+    actions, infos = pol.get_actions(obs, jax.random.key(0))
+    assert actions.shape == (256, 2)
+    np.testing.assert_allclose(np.exp(infos["log_std"][0]), 10.0, rtol=1e-5)
+    assert 7.0 < actions.std() < 13.0  # matches init_std
+
+
+def test_linear_feature_baseline_exact_fit(rng):
+    # value that IS linear in the features must be recovered exactly
+    paths = []
+    w = rng.standard_normal(8)
+    for _ in range(5):
+        obs = rng.standard_normal((20, 1)).astype(np.float32)
+        al = np.arange(20).reshape(-1, 1) / 100.0
+        feats = np.concatenate([np.clip(obs, -10, 10), obs**2, al, al**2, al**3, np.ones((20, 1))], 1)
+        # pad feature vector to match w
+        returns = feats @ w[:6]
+        paths.append(dict(observations=obs, rewards=np.zeros(20), returns=returns))
+    bl = LinearFeatureBaseline()
+    bl.fit(paths)
+    pred = bl.predict(paths[0])
+    np.testing.assert_allclose(pred, paths[0]["returns"], atol=2e-3)
+
+
+def test_process_paths_diagnostics():
+    paths = [
+        dict(
+            observations=np.zeros((5, 2), np.float32),
+            actions=np.zeros((5, 2), np.float32),
+            rewards=np.ones(5),
+            env_infos={"reward_true": np.array([0, 0, 0, 0, 0.5])},
+            agent_infos={"mean": np.zeros((5, 2)), "log_std": np.zeros((5, 2))},
+        )
+        for _ in range(3)
+    ]
+    samples = process_paths(paths, LinearFeatureBaseline(), discount=0.9)
+    assert samples["observations"].shape == (15, 2)
+    d = samples["diagnostics"]
+    np.testing.assert_allclose(d["AverageReturn"], 5.0)
+    np.testing.assert_allclose(d["ReturnTrue"], 0.5)
+    # centered advantages
+    np.testing.assert_allclose(samples["advantages"].mean(), 0, atol=1e-6)
+
+
+def test_truncate_paths():
+    paths = [
+        dict(rewards=np.arange(10), observations=np.zeros((10, 2)), env_infos={"a": np.arange(10)})
+        for _ in range(3)
+    ]
+    out = truncate_paths(paths, 15)
+    assert sum(len(p["rewards"]) for p in out) == 15
+    assert len(out[1]["env_infos"]["a"]) == 5
+
+
+def _train(algo_cls, n_iters, **kw):
+    vec = _VecPoint(10, seed=0)
+    pol = GaussianMLPPolicy(obs_dim=2, action_dim=2, hidden=(16,), init_std=1.0, seed=0)
+    opt = algo_cls(pol, **kw)
+    cfg = RLConfig(batch_size=400, max_path_length=20, n_iters=n_iters, discount=0.99, snapshot_mode="none")
+    algo = BatchPolopt(vec, pol, LinearFeatureBaseline(), opt, cfg)
+    return algo.train()
+
+
+def test_trpo_learns_point_env(tmp_path):
+    history = _train(TRPO, 10, step_size=0.05)
+    first, last = history[0]["AverageReturn"], history[-1]["AverageReturn"]
+    assert last > first + 1.0, (first, last)
+    # KL constraint respected on accepted steps
+    assert all(h["MeanKL"] <= 0.05 + 1e-3 or h["dLoss"] == 0 for h in history)
+    # no NaNs anywhere (reference test_algos.py's no-NaN contract)
+    flat = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(history)])
+
+
+def test_vpg_learns_point_env():
+    history = _train(VPG, 15, learning_rate=5e-2)
+    assert history[-1]["AverageReturn"] > history[0]["AverageReturn"] + 0.5
+
+
+def test_trpo_rejects_bad_steps():
+    """With an absurdly tight KL bound every step must be rejected or tiny."""
+    pol = GaussianMLPPolicy(obs_dim=2, action_dim=2, hidden=(8,), seed=0)
+    opt = TRPO(pol, step_size=1e-12, max_backtracks=2)
+    rng = np.random.default_rng(0)
+    before = np.asarray(pol.params["log_std"])
+    samples = dict(
+        observations=rng.standard_normal((50, 2)).astype(np.float32),
+        actions=rng.standard_normal((50, 2)).astype(np.float32),
+        advantages=rng.standard_normal(50).astype(np.float32),
+        agent_infos=dict(
+            mean=np.zeros((50, 2), np.float32), log_std=np.zeros((50, 2), np.float32)
+        ),
+    )
+    diag = opt.optimize(samples)
+    after = np.asarray(pol.params["log_std"])
+    if diag["dLoss"] == 0.0:  # step rejected -> params unchanged
+        np.testing.assert_allclose(before, after)
