@@ -1,0 +1,223 @@
+"""Visual reward engine — the paper's core mechanism.
+
+Capability match for reference ``rllab/sampler/base.py:49-257``:
+
+- mode ``oracle``: add the env's ground-truth ``reward_true`` to rewards
+  (base.py:190-191).
+- mode ``ours``/``oursinception``: on the first scored batch, translate every
+  held-out demo video into the agent's context (frame 0 of the rollout) and
+  cache, per viewpoint, the mean translated latent ``means[vp]`` [T, F] and
+  mean translated image ``imgs[vp]`` [T, H, W, C] (base.py:195-226). Per
+  rollout: encode the agent's T rendered frames, and splice
+  ``rewards[2j+1] -= cost_j * j^2`` where ``cost_j`` sums over viewpoints the
+  latent L2 to ``means`` plus ``scale`` times the pixel L2 to ``imgs``
+  (base.py:227-257).
+- ablations ``nofeat`` / ``noimage`` / ``recon`` (base.py:243-252). The
+  reference's ``nofeat`` branch indexes the whole viewpoint list (a latent
+  bug); here every ablation is consistently per-viewpoint (SURVEY §7
+  normalization).
+
+TPU-first re-architecture: the reference runs one ``sess.run`` per demo video
+during warmup and one per rollout during scoring. Here the warmup translates
+demos in fixed-size batched chunks under one jit, and scoring batches ALL
+rollouts of an iteration into a single jitted call (frames ship as uint8,
+normalize fuses into the encoder).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imitation_from_observation_tpu.core.config import RewardConfig, TranslationModelConfig
+from imitation_from_observation_tpu.core.checkpoint import load_pytree
+from imitation_from_observation_tpu.models import build_model
+
+
+class VisualRewardEngine:
+    def __init__(
+        self,
+        cfg: RewardConfig,
+        model_cfg: TranslationModelConfig | None = None,
+        params: Any = None,
+        demo_data: np.ndarray | None = None,
+        n_viewpoints: int = 1,
+        feature_fn: Callable | None = None,
+        chunk_videos: int = 16,
+    ):
+        """``demo_data``: held-out demos [T, N, H, W, C] in [-1, 1] (the
+        trainer's vdata format / reference ``modeldata`` npy). ``feature_fn``
+        maps uint8 frames -> backbone feature maps for the inception modes."""
+        self.cfg = cfg
+        self.nvp = n_viewpoints
+        self.chunk_videos = chunk_videos
+        self.means: list[np.ndarray] | None = None
+        self.imgs: list[np.ndarray] | None = None
+        self.feature_fn = feature_fn
+        if cfg.mode in ("ours", "oursinception"):
+            if model_cfg is None:
+                raise ValueError(f"mode {cfg.mode!r} needs a translation model config")
+            self.model = build_model(model_cfg)
+            if params is None:
+                if not cfg.model_checkpoint:
+                    raise ValueError("need params or cfg.model_checkpoint")
+                params = self._load_params(cfg.model_checkpoint, model_cfg)
+            self.params = params
+            if demo_data is None and cfg.demo_data:
+                demo_data = np.load(cfg.demo_data)
+            if demo_data is None:
+                raise ValueError(f"mode {cfg.mode!r} needs demo_data")
+            # temporal subsample to the scored frame count (base.py:205-210)
+            self.demo_data = np.asarray(demo_data[:: cfg.skip], np.float32)
+            if cfg.n_demos:
+                self.demo_data = self.demo_data[:, : cfg.n_demos]
+            self._build_jits()
+        elif cfg.mode in ("inception", "inceptionsame"):
+            if feature_fn is None:
+                raise ValueError(f"mode {cfg.mode!r} needs a feature_fn (backbone)")
+            self.feat_means = None
+            self.feat_std = None
+        elif cfg.mode not in ("oracle", "none"):
+            raise ValueError(f"unknown reward mode {cfg.mode!r}")
+
+    def _load_params(self, path: str, model_cfg: TranslationModelConfig):
+        sample = jnp.zeros((1, *model_cfg.image_size, model_cfg.channels), jnp.float32)
+        like = self.model.init(jax.random.key(0), sample, sample, sample)
+        return load_pytree(path, like)
+
+    # -- jitted pipelines --------------------------------------------------
+    def _build_jits(self) -> None:
+        model = self.model
+
+        @jax.jit
+        def translate_chunk(params, src, ctx):
+            """src [B,H,W,C] in [-1,1]; ctx [B,H,W,C]; -> (z [B,F], out)."""
+            return model.apply(params, src, ctx, method="translate")
+
+        @jax.jit
+        def score_paths(params, frames_u8, means, mean_imgs, scale):
+            """frames_u8 [P, T, V, H, W, C] uint8; means [V, T, F];
+            mean_imgs [V, T, H, W, C] -> costs [P, T]."""
+            P, T, V = frames_u8.shape[:3]
+            x = frames_u8.astype(jnp.float32) / 127.5 - 1.0
+            flat = x.reshape(P * T * V, *x.shape[3:])
+            feats = model.apply(params, flat, method="encode")
+            feats = feats.reshape(P, T, V, -1).transpose(0, 2, 1, 3)  # [P,V,T,F]
+            imgs = x.transpose(0, 2, 1, 3, 4, 5)  # [P,V,T,H,W,C]
+            feat_cost = jnp.sum((means[None] - feats) ** 2, axis=-1)  # [P,V,T]
+            pix_cost = jnp.sum((mean_imgs[None] - imgs) ** 2, axis=(-1, -2, -3))
+            if self.cfg.ablation == "nofeat":
+                costs = scale * pix_cost
+            elif self.cfg.ablation == "noimage":
+                costs = feat_cost
+            else:
+                costs = feat_cost + scale * pix_cost
+            return jnp.sum(costs, axis=1)  # sum over viewpoints -> [P, T]
+
+        @jax.jit
+        def recon_paths(params, frames_u8, context_u8):
+            """Autoencode agent frames through their own context; pixel L2 to
+            the originals (the 'recon' ablation's image term)."""
+            P, T, V = frames_u8.shape[:3]
+            x = frames_u8.astype(jnp.float32) / 127.5 - 1.0
+            flat = x.reshape(P * T * V, *x.shape[3:])
+            ctx = jnp.broadcast_to(
+                context_u8.astype(jnp.float32) / 127.5 - 1.0, (P, T, *context_u8.shape)
+            ).reshape(P * T * V, *context_u8.shape[1:])
+            _, out = model.apply(params, flat, ctx, method="translate")
+            err = jnp.sum((out - flat) ** 2, axis=(-1, -2, -3)).reshape(P, T, V)
+            return jnp.sum(err, axis=-1)
+
+        self._translate_chunk = translate_chunk
+        self._score_paths = score_paths
+        self._recon_paths = recon_paths
+
+    # -- warmup: demo translation cache (base.py:195-226) ------------------
+    def _warmup(self, context_frames: np.ndarray) -> None:
+        """context_frames: uint8 [V, H, W, C] — frame 0 of the first rollout."""
+        T, N = self.demo_data.shape[:2]
+        self.means, self.imgs = [], []
+        for vp in range(self.nvp):
+            ctx = jnp.asarray(context_frames[vp], jnp.float32) / 127.5 - 1.0
+            z_acc = np.zeros((T, 0), np.float32)
+            zs, outs = [], []
+            c = self.chunk_videos
+            for start in range(0, N, c):
+                vids = self.demo_data[:, start : start + c]  # [T, n, H, W, C]
+                n = vids.shape[1]
+                src = jnp.asarray(vids.transpose(1, 0, 2, 3, 4).reshape(n * T, *vids.shape[2:]))
+                ctx_b = jnp.broadcast_to(ctx, (n * T, *ctx.shape))
+                z, out = self._translate_chunk(self.params, src, ctx_b)
+                zs.append(np.asarray(z, np.float32).reshape(n, T, -1))
+                outs.append(np.asarray(out, np.float32).reshape(n, T, *vids.shape[2:]))
+            z_all = np.concatenate(zs)  # [N, T, F]
+            out_all = np.concatenate(outs)
+            self.means.append(z_all.mean(axis=0))  # [T, F]
+            self.imgs.append(out_all.mean(axis=0))  # [T, H, W, C]
+
+    # -- per-iteration splice ---------------------------------------------
+    def process(self, paths: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        mode = self.cfg.mode
+        if mode == "none":
+            return paths
+        if mode == "oracle":
+            for p in paths:
+                p["rewards"] = p["rewards"] + np.asarray(p["env_infos"]["reward_true"], np.float64)
+            return paths
+        if mode in ("inception", "inceptionsame"):
+            return self._process_inception(paths)
+
+        # -- ours / oursinception ------------------------------------------
+        frame_stacks, frame_counts = [], []
+        for p in paths:
+            frames = [f for f in p["env_infos"]["frames"] if f is not None]
+            frame_stacks.append(np.stack(frames))  # [T, V, H, W, C]
+            frame_counts.append(len(frames))
+        T = min(frame_counts)
+        batch = np.stack([f[:T] for f in frame_stacks])  # [P, T, V, H, W, C]
+
+        if self.means is None:
+            self._warmup(batch[0, 0])  # first rollout's first rendered frame
+        means = jnp.asarray(np.stack(self.means)[:, :T])
+        mean_imgs = jnp.asarray(np.stack(self.imgs)[:, :T])
+
+        if self.cfg.ablation == "recon":
+            feat = np.asarray(
+                self._score_paths(self.params, jnp.asarray(batch), means, mean_imgs, 0.0)
+            )
+            recon = np.asarray(
+                self._recon_paths(self.params, jnp.asarray(batch), jnp.asarray(batch[0, 0]))
+            )
+            costs = feat + self.cfg.scale * recon
+        else:
+            costs = np.asarray(
+                self._score_paths(
+                    self.params, jnp.asarray(batch), means, mean_imgs, self.cfg.scale
+                )
+            )
+        # splice: rendered frame j came from env step 2j+1 (base.py:256-257)
+        for p, cost in zip(paths, costs):
+            for j in range(T):
+                p["rewards"][j * 2 + 1] -= cost[j] * (j**2)
+        return paths
+
+    def _process_inception(self, paths):
+        """z-scored squared error of backbone activations vs expert means
+        (base.py:179-189)."""
+        if self.feat_means is None:
+            data = np.load(self.cfg.mean_file)
+            self.feat_means = data[self.cfg.inception_layer]
+            self.feat_std = data[self.cfg.inception_layer + "std"]
+        for p in paths:
+            frames = [f[0] for f in p["env_infos"]["frames"] if f is not None]
+            feat = np.asarray(self.feature_fn(np.stack(frames)))
+            diff = self.feat_means - feat
+            diff[self.feat_std == 0] = 0
+            diff = diff**2 / (self.feat_std + 1e-5)
+            means = np.mean(diff, axis=tuple(range(1, diff.ndim)))
+            for j in range(len(frames)):
+                p["rewards"][j * 2 + 1] -= means[j] * (j**2)
+        return paths

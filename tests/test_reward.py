@@ -1,0 +1,148 @@
+"""Reward-engine tests: oracle splice, demo-translation cache, cost math
+(golden-value vs a plain numpy re-computation), ablations, j^2 time weight."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imitation_from_observation_tpu.core.config import RewardConfig, TranslationModelConfig
+from imitation_from_observation_tpu.models import build_model
+from imitation_from_observation_tpu.reward import VisualRewardEngine
+
+HW = 16
+T = 4  # scored frames per path
+MODEL_CFG = TranslationModelConfig(
+    model="context_skip", image_size=(HW, HW), base_filters=8, feat_size=32
+)
+
+
+def _make_paths(n_paths=3, horizon=2 * T + 1, nvp=1, seed=0, with_frames=True):
+    rng = np.random.default_rng(seed)
+    paths = []
+    for _ in range(n_paths):
+        frames = [None] * horizon
+        if with_frames:
+            for j in range(T):
+                frames[2 * j + 1] = rng.integers(0, 255, (nvp, HW, HW, 3), dtype=np.uint8)
+        reward_true = np.zeros(horizon)
+        reward_true[-1] = -0.5
+        paths.append(
+            dict(
+                rewards=np.zeros(horizon),
+                env_infos={"frames": frames, "reward_true": reward_true},
+            )
+        )
+    return paths
+
+
+def test_oracle_mode():
+    eng = VisualRewardEngine(RewardConfig(mode="oracle"))
+    paths = _make_paths(with_frames=False)
+    eng.process(paths)
+    assert paths[0]["rewards"][-1] == -0.5
+    assert paths[0]["rewards"][:-1].sum() == 0
+
+
+def test_none_mode_noop():
+    eng = VisualRewardEngine(RewardConfig(mode="none"))
+    paths = _make_paths()
+    eng.process(paths)
+    assert np.all(paths[0]["rewards"] == 0)
+
+
+def _engine_and_params(ablation="none", scale=0.7, n_demos=6):
+    rng = np.random.default_rng(1)
+    demo = rng.uniform(-1, 1, (T, n_demos, HW, HW, 3)).astype(np.float32)
+    model = build_model(MODEL_CFG)
+    x = jnp.zeros((1, HW, HW, 3), jnp.float32)
+    params = model.init(jax.random.key(0), x, x, x)
+    eng = VisualRewardEngine(
+        RewardConfig(mode="ours", ablation=ablation, scale=scale),
+        MODEL_CFG,
+        params=params,
+        demo_data=demo,
+        chunk_videos=4,  # force multi-chunk warmup
+    )
+    return eng, params, demo, model
+
+
+def test_ours_mode_matches_numpy_recomputation():
+    eng, params, demo, model = _engine_and_params()
+    paths = _make_paths(n_paths=2, seed=2)
+    eng.process(paths)
+
+    # -- independent numpy recomputation ----------------------------------
+    ctx_frame = paths[0]["env_infos"]["frames"][1][0]  # first rendered frame, vp 0
+    ctx = ctx_frame.astype(np.float32) / 127.5 - 1.0
+    zs, outs = [], []
+    for i in range(demo.shape[1]):
+        src = jnp.asarray(demo[:, i])
+        z, out = model.apply(params, src, jnp.broadcast_to(jnp.asarray(ctx), src.shape), method="translate")
+        zs.append(np.asarray(z))
+        outs.append(np.asarray(out))
+    means = np.mean(zs, axis=0)
+    mimgs = np.mean(outs, axis=0)
+
+    p = paths[1]
+    frames = np.stack([f for f in p["env_infos"]["frames"] if f is not None])  # [T,1,H,W,C]
+    x = frames[:, 0].astype(np.float32) / 127.5 - 1.0
+    feats = np.asarray(model.apply(params, jnp.asarray(x), method="encode"))
+    costs = np.sum((means - feats) ** 2, axis=1) + 0.7 * np.sum(
+        (mimgs - x) ** 2, axis=(1, 2, 3)
+    )
+    expected = np.zeros(2 * T + 1)
+    for j in range(T):
+        expected[2 * j + 1] = -costs[j] * j**2
+    np.testing.assert_allclose(p["rewards"], expected, rtol=2e-4, atol=1e-3)
+
+
+def test_warmup_cached_across_iterations():
+    eng, *_ = _engine_and_params()
+    eng.process(_make_paths(seed=3))
+    means_first = [m.copy() for m in eng.means]
+    eng.process(_make_paths(seed=4))  # different rollouts, same cache
+    for a, b in zip(means_first, eng.means):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_ablations_differ():
+    paths_by_abl = {}
+    for abl in ["none", "nofeat", "noimage", "recon"]:
+        eng, *_ = _engine_and_params(ablation=abl)
+        paths = _make_paths(n_paths=1, seed=5)
+        eng.process(paths)
+        paths_by_abl[abl] = paths[0]["rewards"].copy()
+    # noimage = pure latent term: small (tiny-init latents) but nonzero
+    assert np.any(paths_by_abl["noimage"] != 0)
+    assert not np.allclose(paths_by_abl["none"], paths_by_abl["noimage"])
+    # none = noimage-term + nofeat-term (same scale)
+    np.testing.assert_allclose(
+        paths_by_abl["none"], paths_by_abl["nofeat"] + paths_by_abl["noimage"], rtol=1e-3, atol=1e-3
+    )
+
+
+def test_j_squared_time_weighting():
+    """Even with constant per-frame cost, splice grows ~ j^2."""
+    eng, *_ = _engine_and_params()
+    paths = _make_paths(n_paths=1, seed=6)
+    eng.process(paths)
+    r = paths[0]["rewards"]
+    assert r[1] == 0.0  # j=0 -> weight 0
+    assert all(r[2 * j + 1] <= 0 for j in range(T))
+    assert abs(r[2 * (T - 1) + 1]) > abs(r[3])  # grows with j
+
+
+def test_multi_viewpoint_costs_sum():
+    rng = np.random.default_rng(7)
+    demo = rng.uniform(-1, 1, (T, 4, HW, HW, 3)).astype(np.float32)
+    model = build_model(MODEL_CFG)
+    x = jnp.zeros((1, HW, HW, 3), jnp.float32)
+    params = model.init(jax.random.key(0), x, x, x)
+    eng = VisualRewardEngine(
+        RewardConfig(mode="ours"), MODEL_CFG, params=params, demo_data=demo, n_viewpoints=2
+    )
+    paths = _make_paths(n_paths=1, nvp=2, seed=8)
+    eng.process(paths)
+    assert len(eng.means) == 2
+    assert paths[0]["rewards"][3] < 0
