@@ -1,0 +1,8 @@
+#!/bin/sh
+# Build the native decoder shared library next to this script.
+set -e
+cd "$(dirname "$0")"
+g++ -O2 -fPIC -shared -o libvideodec.so videodec.cpp \
+    -I/usr/include/x86_64-linux-gnu \
+    -lavformat -lavcodec -lswscale -lavutil
+echo "built $(pwd)/libvideodec.so"

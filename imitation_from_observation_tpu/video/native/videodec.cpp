@@ -1,0 +1,148 @@
+// Native demo-video decoder: libavformat/libavcodec/libswscale -> RGB24.
+//
+// TPU-native replacement for the reference's ffmpeg subprocess + imageio
+// decode path (gym/monitoring/video_recorder.py:237-288 encode,
+// scripts/train_script.py:67 decode): frames are decoded in-process into one
+// contiguous uint8 [T, H, W, 3] buffer that python hands straight to the
+// device-side preprocessing graph — no pipe, no per-frame python hop.
+//
+// C ABI (consumed by ctypes in binding.py):
+//   vd_decode(path, &buf, &T, &H, &W) -> 0 on success, negative error code
+//   vd_free(buf)
+//   vd_frame_count(path)              -> quick container probe
+//
+// Build: see build.sh (g++ -shared, links system libav*).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+
+struct DecoderCtx {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  SwsContext* sws = nullptr;
+  AVFrame* frame = nullptr;
+  AVFrame* rgb = nullptr;
+  AVPacket* pkt = nullptr;
+  int stream_index = -1;
+
+  ~DecoderCtx() {
+    if (pkt) av_packet_free(&pkt);
+    if (rgb) av_frame_free(&rgb);
+    if (frame) av_frame_free(&frame);
+    if (sws) sws_freeContext(sws);
+    if (codec) avcodec_free_context(&codec);
+    if (fmt) avformat_close_input(&fmt);
+  }
+
+  int open(const char* path) {
+    if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+    if (avformat_find_stream_info(fmt, nullptr) < 0) return -2;
+    const AVCodec* dec = nullptr;
+    stream_index = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &dec, 0);
+    if (stream_index < 0 || !dec) return -3;
+    codec = avcodec_alloc_context3(dec);
+    if (!codec) return -4;
+    if (avcodec_parameters_to_context(codec, fmt->streams[stream_index]->codecpar) < 0)
+      return -5;
+    if (avcodec_open2(codec, dec, nullptr) < 0) return -6;
+    frame = av_frame_alloc();
+    rgb = av_frame_alloc();
+    pkt = av_packet_alloc();
+    if (!frame || !rgb || !pkt) return -7;
+    return 0;
+  }
+};
+
+// Convert one decoded frame to tightly-packed RGB24 appended to `out`.
+int push_rgb(DecoderCtx& c, std::vector<uint8_t>& out, int& H, int& W) {
+  const int h = c.frame->height, w = c.frame->width;
+  if (H == 0) {
+    H = h;
+    W = w;
+  } else if (h != H || w != W) {
+    return -20;  // variable frame size unsupported
+  }
+  if (!c.sws) {
+    c.sws = sws_getContext(w, h, (AVPixelFormat)c.frame->format, w, h,
+                           AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
+    if (!c.sws) return -21;
+  }
+  const size_t off = out.size();
+  out.resize(off + (size_t)h * w * 3);
+  uint8_t* dst_data[4] = {out.data() + off, nullptr, nullptr, nullptr};
+  int dst_linesize[4] = {w * 3, 0, 0, 0};
+  sws_scale(c.sws, c.frame->data, c.frame->linesize, 0, h, dst_data, dst_linesize);
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int vd_decode(const char* path, uint8_t** out_buf, int* out_t, int* out_h, int* out_w) {
+  DecoderCtx c;
+  int rc = c.open(path);
+  if (rc != 0) return rc;
+
+  std::vector<uint8_t> out;
+  int T = 0, H = 0, W = 0;
+
+  auto drain = [&](void) -> int {
+    while (true) {
+      int r = avcodec_receive_frame(c.codec, c.frame);
+      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return 0;
+      if (r < 0) return -10;
+      r = push_rgb(c, out, H, W);
+      if (r != 0) return r;
+      ++T;
+    }
+  };
+
+  while (av_read_frame(c.fmt, c.pkt) >= 0) {
+    if (c.pkt->stream_index == c.stream_index) {
+      if (avcodec_send_packet(c.codec, c.pkt) == 0) {
+        rc = drain();
+        if (rc != 0) {
+          av_packet_unref(c.pkt);
+          return rc;
+        }
+      }
+    }
+    av_packet_unref(c.pkt);
+  }
+  avcodec_send_packet(c.codec, nullptr);  // flush
+  rc = drain();
+  if (rc != 0) return rc;
+  if (T == 0) return -11;
+
+  uint8_t* buf = (uint8_t*)std::malloc(out.size());
+  if (!buf) return -12;
+  std::memcpy(buf, out.data(), out.size());
+  *out_buf = buf;
+  *out_t = T;
+  *out_h = H;
+  *out_w = W;
+  return 0;
+}
+
+void vd_free(uint8_t* p) { std::free(p); }
+
+int vd_frame_count(const char* path) {
+  DecoderCtx c;
+  if (c.open(path) != 0) return -1;
+  int64_t n = c.fmt->streams[c.stream_index]->nb_frames;
+  return (int)n;  // 0 when the container doesn't record it
+}
+
+}  // extern "C"

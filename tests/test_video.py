@@ -107,3 +107,24 @@ def test_save_gif(tmp_path, rng):
     save_gif(str(tmp_path / "x.gif"), frames)
     img = Image.open(tmp_path / "x.gif")
     assert img.n_frames == 5
+
+
+def test_native_decoder_matches_cv2(tmp_path):
+    """The C++ libav module and OpenCV must agree on decoded frames."""
+    pytest.importorskip("ctypes")
+    t, y, x = np.meshgrid(np.arange(51), np.arange(32), np.arange(32), indexing="ij")
+    frames = np.stack([(y * 8) % 256, (x * 8) % 256, (t * 5) % 256], axis=-1).astype(np.uint8)
+    path = str(tmp_path / "nat.mp4")
+    write_mp4(path, frames)
+    try:
+        from imitation_from_observation_tpu.video.native import binding
+
+        native = binding.decode(path)
+    except Exception as e:  # toolchain/codec missing on this host
+        pytest.skip(f"native decoder unavailable: {e}")
+    from imitation_from_observation_tpu.video.io import _decode_cv2
+
+    ref = _decode_cv2(path)
+    assert native.shape == ref.shape
+    assert np.mean(np.abs(native.astype(float) - ref.astype(float))) < 2.0
+    assert binding.frame_count(path) == 51
