@@ -44,6 +44,7 @@ from imitation_from_observation_tpu.ops import (
     linear_kernel_init,
     lrelu,
 )
+from imitation_from_observation_tpu.ops.pallas import dense_lrelu
 
 
 @dataclass
@@ -103,6 +104,23 @@ class Dense(nn.Module):
         return linear(x, w, b)
 
 
+class DenseLrelu(nn.Module):
+    """Dense + leaky-ReLU, fused into one Pallas MXU kernel on TPU.
+
+    Same param layout as :class:`Dense`, so swapping the two never breaks
+    checkpoints; every ``lrelu(linear(...))`` hop of the reference models
+    routes through here.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("w", linear_kernel_init, (x.shape[-1], self.features), jnp.float32)
+        b = self.param("b", nn.initializers.zeros, (self.features,), jnp.float32)
+        return dense_lrelu(x, w.astype(x.dtype), b.astype(x.dtype))
+
+
 class ConvEncoder(nn.Module):
     """4 strided convs -> flatten -> 2 dense; returns skips + latent.
 
@@ -126,12 +144,13 @@ class ConvEncoder(nn.Module):
         flat = x.reshape(x.shape[0], -1)
         if self.dropout_rate > 0:
             flat = nn.Dropout(self.dropout_rate)(flat, deterministic=deterministic)
-        h4 = lrelu(Dense(self.feat_size, name="h4_lin")(flat))
+        h4 = DenseLrelu(self.feat_size, name="h4_lin")(flat)
         if self.dropout_rate > 0:
             h4 = nn.Dropout(self.dropout_rate)(h4, deterministic=deterministic)
-        z = Dense(self.feat_size, name="hz_lin")(h4)
         if self.final_act:
-            z = lrelu(z)
+            z = DenseLrelu(self.feat_size, name="hz_lin")(h4)
+        else:
+            z = Dense(self.feat_size, name="hz_lin")(h4)
         return skips, z
 
 
@@ -146,7 +165,7 @@ class Translator(nn.Module):
         h = jnp.concatenate([src_z, ctx_z], axis=-1)
         if self.dropout_rate > 0:
             h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        h = lrelu(Dense(self.feat_size, name="trans_h0")(h))
+        h = DenseLrelu(self.feat_size, name="trans_h0")(h)
         if self.dropout_rate > 0:
             h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         return Dense(self.feat_size, name="trans_z")(h)
@@ -173,7 +192,7 @@ class SkipDecoder(nn.Module):
         nf_last = self.filters[-1]
         if self.dropout_rate > 0:
             z = nn.Dropout(self.dropout_rate)(z, deterministic=deterministic)
-        h = lrelu(Dense(nf_last * bh * bw, name="d_h0_lin")(z))
+        h = DenseLrelu(nf_last * bh * bw, name="d_h0_lin")(z)
         h = h.reshape(h.shape[0], bh, bw, nf_last)
         if self.dropout_rate > 0:
             h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)

@@ -1,0 +1,140 @@
+"""Pallas TPU kernels for the translation-model hot path.
+
+Two kernels:
+
+- :func:`dense_lrelu` — ``lrelu(x @ w + b)`` in one MXU pass. Every dense hop
+  of the translation nets (h4_lin/hz_lin, the translator pair, d_h0_lin —
+  reference arm_shaping.py:1290-1324) has this shape; fusing the bias +
+  leaky-ReLU into the matmul's epilogue keeps the activation out of HBM. The
+  custom VJP recomputes the activation mask from the output sign (lrelu is
+  sign-preserving for leak > 0), so no pre-activation is materialized.
+
+- :func:`pairwise_sqdist` — ``|a_i - b_j|^2`` for all pairs via the expansion
+  ``|a|^2 - 2 a.b + |b|^2`` with the cross term on the MXU and the norms
+  fused into the epilogue; backs the trainer's nn_err eval metric
+  (train_script.py:148) at batch scale.
+
+On non-TPU backends both fall back to plain XLA (tests run the kernels in
+interpreter mode explicitly).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pallas_enabled() -> bool:
+    """Pallas kernels run on TPU backends unless IFO_TPU_PALLAS=0."""
+    if os.environ.get("IFO_TPU_PALLAS") == "0":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# -- fused dense + lrelu ----------------------------------------------------
+
+
+def _dense_lrelu_kernel(x_ref, w_ref, b_ref, o_ref, *, leak: float):
+    acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    acc = acc + b_ref[:].astype(jnp.float32)
+    o_ref[:] = jnp.maximum(acc, leak * acc).astype(o_ref.dtype)
+
+
+def _dense_lrelu_fwd_pallas(x, w, b, leak: float, tile_m: int = 128, tile_n: int = 128):
+    m, k = x.shape
+    n = w.shape[1]
+    mp, np_, kp = _round_up(m, tile_m), _round_up(n, tile_n), _round_up(k, 128)
+    xp = jnp.pad(x, ((0, mp - m), (0, kp - k)))
+    wp = jnp.pad(w, ((0, kp - k), (0, np_ - n)))
+    bp = jnp.pad(b, (0, np_ - n)).reshape(1, np_)
+    out = pl.pallas_call(
+        functools.partial(_dense_lrelu_kernel, leak=leak),
+        grid=(mp // tile_m, np_ // tile_n),
+        in_specs=[
+            pl.BlockSpec((tile_m, kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp, bytes_accessed=(mp * kp + kp * np_ + mp * np_) * 4, transcendentals=0
+        ),
+    )(xp, wp, bp)
+    return out[:m, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def dense_lrelu(x, w, b, leak: float = 0.2):
+    """``lrelu(x @ w + b)``; x [M, K], w [K, N], b [N]."""
+    if pallas_enabled():
+        return _dense_lrelu_fwd_pallas(x, w, b, leak)
+    acc = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+    return jnp.maximum(acc, leak * acc).astype(x.dtype)
+
+
+def _dense_lrelu_fwd(x, w, b, leak):
+    out = dense_lrelu(x, w, b, leak)
+    return out, (x, w, out)
+
+
+def _dense_lrelu_bwd(leak, res, g):
+    x, w, out = res
+    # lrelu'(pre) = 1 where pre > 0 else leak; sign(out) == sign(pre)
+    mask = jnp.where(out > 0, 1.0, leak).astype(g.dtype)
+    gpre = (g * mask).astype(jnp.float32)
+    dx = jnp.dot(gpre, w.T.astype(jnp.float32), preferred_element_type=jnp.float32).astype(x.dtype)
+    dw = jnp.dot(x.T.astype(jnp.float32), gpre, preferred_element_type=jnp.float32).astype(w.dtype)
+    db = jnp.sum(gpre, axis=0).astype(w.dtype)
+    return dx, dw, db
+
+
+dense_lrelu.defvjp(_dense_lrelu_fwd, _dense_lrelu_bwd)
+
+
+# -- pairwise squared distance ----------------------------------------------
+
+
+def _pairwise_kernel(a_ref, b_ref, o_ref):
+    a = a_ref[:].astype(jnp.float32)
+    bt = b_ref[:].astype(jnp.float32)
+    cross = jnp.dot(a, bt.T, preferred_element_type=jnp.float32)
+    an = jnp.sum(a * a, axis=1, keepdims=True)
+    bn = jnp.sum(bt * bt, axis=1, keepdims=True).T
+    o_ref[:] = (an - 2.0 * cross + bn).astype(o_ref.dtype)
+
+
+def pairwise_sqdist(a: jax.Array, b: jax.Array, tile: int = 128) -> jax.Array:
+    """All-pairs squared L2: a [M, F], b [N, F] -> [M, N]."""
+    if not pallas_enabled():
+        an = jnp.sum(a * a, axis=1)[:, None]
+        bn = jnp.sum(b * b, axis=1)[None, :]
+        return an - 2.0 * a @ b.T + bn
+    m, f = a.shape
+    n = b.shape[0]
+    mp, np_, fp = _round_up(m, tile), _round_up(n, tile), _round_up(f, 128)
+    ap = jnp.pad(a, ((0, mp - m), (0, fp - f)))
+    bp = jnp.pad(b, ((0, np_ - n), (0, fp - f)))
+    out = pl.pallas_call(
+        _pairwise_kernel,
+        grid=(mp // tile, np_ // tile),
+        in_specs=[
+            pl.BlockSpec((tile, fp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, fp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+    )(ap, bp)
+    return out[:m, :n]

@@ -29,6 +29,7 @@ from imitation_from_observation_tpu.core.checkpoint import save_pytree
 from imitation_from_observation_tpu.core.config import TrainConfig, TranslationModelConfig
 from imitation_from_observation_tpu.core.log import Logger, get_logger
 from imitation_from_observation_tpu.models import build_model, translation_loss
+from imitation_from_observation_tpu.ops.pallas import pairwise_sqdist
 from imitation_from_observation_tpu.parallel import make_mesh, replicated, shard_batch
 from imitation_from_observation_tpu.video.dataset import PairSampler
 from imitation_from_observation_tpu.video.io import save_gif
@@ -49,12 +50,7 @@ def nn_err_metric(tgt: jax.Array, out: jax.Array, nlen: int) -> jax.Array:
     """
     t = tgt.astype(jnp.float32).reshape(tgt.shape[0], -1)
     o = out.astype(jnp.float32).reshape(out.shape[0], -1)
-    # [B_tgt, B_out] mean sq distance via the expansion: |t|^2 - 2 t.o + |o|^2
-    d = (
-        jnp.sum(t * t, axis=1)[:, None]
-        - 2.0 * t @ o.T
-        + jnp.sum(o * o, axis=1)[None, :]
-    )
+    d = pairwise_sqdist(t, o)  # [B_tgt, B_out], Pallas MXU kernel on TPU
     nn = jnp.argmin(d, axis=0)
     want = jnp.arange(out.shape[0]) % nlen
     return jnp.sum(jnp.abs(nn - want))
