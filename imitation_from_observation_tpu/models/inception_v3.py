@@ -1,0 +1,284 @@
+"""Inception-v3 feature extractor (flax).
+
+Capability match for the reference's vendored TF-slim backbone
+(``nets/inception_v3.py``, used at rllab/sampler/base.py:45,77-78 and
+scripts/train_script.py:105-106): same topology and endpoint names
+(Conv2d_1a_3x3 ... Mixed_7c), conv+BN(scale-free)+ReLU units, and the 1001-way
+logits head. The reward engine consumes ``Mixed_7c`` (8x8x2048 at 299x299
+input); ``ContextFeat`` translates in that feature space.
+
+Inference-oriented: batch-norm uses stored moving statistics (the reference
+always runs the backbone with ``is_training=False``). Weights convert from a
+TF-slim checkpoint exported to ``.npz`` via :func:`load_tf_slim_npz` — the
+slim variable names map 1:1 onto this module's parameter tree.
+
+Input convention matches the reference feed (base.py:117-120): uint8 frames
+are normalized to [-1, 1] by the caller (``(x/255 - 0.5) * 2``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ConvBN(nn.Module):
+    """conv (no bias) + batchnorm (no scale, eps 1e-3) + relu — the slim unit
+    from inception_v3_arg_scope."""
+
+    features: int
+    kernel: tuple[int, int]
+    stride: int = 1
+    padding: str = "SAME"
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "weights",
+            nn.initializers.truncated_normal(stddev=0.1),
+            (*self.kernel, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        y = jax.lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            (self.stride, self.stride),
+            self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        beta = self.param("beta", nn.initializers.zeros, (self.features,), jnp.float32)
+        mean = self.param("moving_mean", nn.initializers.zeros, (self.features,), jnp.float32)
+        var = self.param("moving_variance", nn.initializers.ones, (self.features,), jnp.float32)
+        y = (y - mean) * jax.lax.rsqrt(var + 1e-3) + beta
+        return nn.relu(y).astype(x.dtype)
+
+
+def _maxpool(x, k=3, s=2, padding="VALID"):
+    return nn.max_pool(x, (k, k), (s, s), padding)
+
+
+def _avgpool(x, k=3, s=1, padding="SAME"):
+    return nn.avg_pool(x, (k, k), (s, s), padding)
+
+
+class _Branch(nn.Module):
+    """A chain of ConvBN specs: [(features, kernel, stride, padding), ...]."""
+
+    specs: Sequence[tuple]
+
+    @nn.compact
+    def __call__(self, x):
+        for i, (f, k, s, p, name) in enumerate(self.specs):
+            x = ConvBN(f, k, s, p, name=name)(x)
+        return x
+
+
+def _B(*specs):
+    return tuple(specs)
+
+
+class InceptionV3(nn.Module):
+    """`features(x)` -> endpoint dict; `__call__(x)` -> (logits, endpoints)."""
+
+    num_classes: int = 1001
+    min_depth: int = 16
+    final_endpoint: str = "Mixed_7c"
+
+    @nn.compact
+    def __call__(self, x, *, features_only: bool = False):
+        ep: dict[str, Any] = {}
+
+        def add(name, val):
+            ep[name] = val
+            return name == self.final_endpoint
+
+        # -- stem ----------------------------------------------------------
+        net = ConvBN(32, (3, 3), 2, "VALID", name="Conv2d_1a_3x3")(x)
+        add("Conv2d_1a_3x3", net)
+        net = ConvBN(32, (3, 3), 1, "VALID", name="Conv2d_2a_3x3")(net)
+        add("Conv2d_2a_3x3", net)
+        net = ConvBN(64, (3, 3), 1, "SAME", name="Conv2d_2b_3x3")(net)
+        add("Conv2d_2b_3x3", net)
+        net = _maxpool(net)
+        add("MaxPool_3a_3x3", net)
+        net = ConvBN(80, (1, 1), 1, "VALID", name="Conv2d_3b_1x1")(net)
+        add("Conv2d_3b_1x1", net)
+        net = ConvBN(192, (3, 3), 1, "VALID", name="Conv2d_4a_3x3")(net)
+        add("Conv2d_4a_3x3", net)
+        net = _maxpool(net)
+        add("MaxPool_5a_3x3", net)
+
+        # -- 35x35 inception-A blocks (Mixed_5b/5c/5d) ----------------------
+        for name, pool_proj in [("Mixed_5b", 32), ("Mixed_5c", 64), ("Mixed_5d", 64)]:
+            b0 = _Branch(_B((64, (1, 1), 1, "SAME", "Conv2d_0a_1x1")), name=f"{name}/Branch_0")(net)
+            b1 = _Branch(
+                _B((48, (1, 1), 1, "SAME", "Conv2d_0a_1x1"), (64, (5, 5), 1, "SAME", "Conv2d_0b_5x5")),
+                name=f"{name}/Branch_1",
+            )(net)
+            b2 = _Branch(
+                _B(
+                    (64, (1, 1), 1, "SAME", "Conv2d_0a_1x1"),
+                    (96, (3, 3), 1, "SAME", "Conv2d_0b_3x3"),
+                    (96, (3, 3), 1, "SAME", "Conv2d_0c_3x3"),
+                ),
+                name=f"{name}/Branch_2",
+            )(net)
+            b3 = _Branch(
+                _B((pool_proj, (1, 1), 1, "SAME", "Conv2d_0b_1x1")), name=f"{name}/Branch_3"
+            )(_avgpool(net))
+            net = jnp.concatenate([b0, b1, b2, b3], axis=-1)
+            add(name, net)
+
+        # -- Mixed_6a: 35x35 -> 17x17 reduction -----------------------------
+        b0 = _Branch(_B((384, (3, 3), 2, "VALID", "Conv2d_1a_1x1")), name="Mixed_6a/Branch_0")(net)
+        b1 = _Branch(
+            _B(
+                (64, (1, 1), 1, "SAME", "Conv2d_0a_1x1"),
+                (96, (3, 3), 1, "SAME", "Conv2d_0b_3x3"),
+                (96, (3, 3), 2, "VALID", "Conv2d_1a_1x1"),
+            ),
+            name="Mixed_6a/Branch_1",
+        )(net)
+        b2 = _maxpool(net)
+        net = jnp.concatenate([b0, b1, b2], axis=-1)
+        add("Mixed_6a", net)
+
+        # -- 17x17 inception-B blocks (Mixed_6b..6e) ------------------------
+        for name, mid in [("Mixed_6b", 128), ("Mixed_6c", 160), ("Mixed_6d", 160), ("Mixed_6e", 192)]:
+            b0 = _Branch(_B((192, (1, 1), 1, "SAME", "Conv2d_0a_1x1")), name=f"{name}/Branch_0")(net)
+            b1 = _Branch(
+                _B(
+                    (mid, (1, 1), 1, "SAME", "Conv2d_0a_1x1"),
+                    (mid, (1, 7), 1, "SAME", "Conv2d_0b_1x7"),
+                    (192, (7, 1), 1, "SAME", "Conv2d_0c_7x1"),
+                ),
+                name=f"{name}/Branch_1",
+            )(net)
+            b2 = _Branch(
+                _B(
+                    (mid, (1, 1), 1, "SAME", "Conv2d_0a_1x1"),
+                    (mid, (7, 1), 1, "SAME", "Conv2d_0b_7x1"),
+                    (mid, (1, 7), 1, "SAME", "Conv2d_0c_1x7"),
+                    (mid, (7, 1), 1, "SAME", "Conv2d_0d_7x1"),
+                    (192, (1, 7), 1, "SAME", "Conv2d_0e_1x7"),
+                ),
+                name=f"{name}/Branch_2",
+            )(net)
+            b3 = _Branch(
+                _B((192, (1, 1), 1, "SAME", "Conv2d_0b_1x1")), name=f"{name}/Branch_3"
+            )(_avgpool(net))
+            net = jnp.concatenate([b0, b1, b2, b3], axis=-1)
+            add(name, net)
+
+        # -- Mixed_7a: 17x17 -> 8x8 reduction -------------------------------
+        b0 = _Branch(
+            _B((192, (1, 1), 1, "SAME", "Conv2d_0a_1x1"), (320, (3, 3), 2, "VALID", "Conv2d_1a_3x3")),
+            name="Mixed_7a/Branch_0",
+        )(net)
+        b1 = _Branch(
+            _B(
+                (192, (1, 1), 1, "SAME", "Conv2d_0a_1x1"),
+                (192, (1, 7), 1, "SAME", "Conv2d_0b_1x7"),
+                (192, (7, 1), 1, "SAME", "Conv2d_0c_7x1"),
+                (192, (3, 3), 2, "VALID", "Conv2d_1a_3x3"),
+            ),
+            name="Mixed_7a/Branch_1",
+        )(net)
+        b2 = _maxpool(net)
+        net = jnp.concatenate([b0, b1, b2], axis=-1)
+        add("Mixed_7a", net)
+
+        # -- 8x8 inception-C blocks (Mixed_7b, Mixed_7c) --------------------
+        for name in ["Mixed_7b", "Mixed_7c"]:
+            b0 = _Branch(_B((320, (1, 1), 1, "SAME", "Conv2d_0a_1x1")), name=f"{name}/Branch_0")(net)
+            b1_in = ConvBN(384, (1, 1), 1, "SAME", name=f"{name}/Branch_1/Conv2d_0a_1x1")(net)
+            b1 = jnp.concatenate(
+                [
+                    ConvBN(384, (1, 3), 1, "SAME", name=f"{name}/Branch_1/Conv2d_0b_1x3")(b1_in),
+                    ConvBN(384, (3, 1), 1, "SAME", name=f"{name}/Branch_1/Conv2d_0b_3x1")(b1_in),
+                ],
+                axis=-1,
+            )
+            b2_in = _Branch(
+                _B((448, (1, 1), 1, "SAME", "Conv2d_0a_1x1"), (384, (3, 3), 1, "SAME", "Conv2d_0b_3x3")),
+                name=f"{name}/Branch_2",
+            )(net)
+            b2 = jnp.concatenate(
+                [
+                    ConvBN(384, (1, 3), 1, "SAME", name=f"{name}/Branch_2/Conv2d_0c_1x3")(b2_in),
+                    ConvBN(384, (3, 1), 1, "SAME", name=f"{name}/Branch_2/Conv2d_0d_3x1")(b2_in),
+                ],
+                axis=-1,
+            )
+            b3 = _Branch(
+                _B((192, (1, 1), 1, "SAME", "Conv2d_0b_1x1")), name=f"{name}/Branch_3"
+            )(_avgpool(net))
+            net = jnp.concatenate([b0, b1, b2, b3], axis=-1)
+            add(name, net)
+
+        if features_only:
+            return ep
+
+        # -- logits head (global pool + 1x1 conv, slim Logits scope) --------
+        pooled = jnp.mean(net, axis=(1, 2), keepdims=True)
+        w = self.param(
+            "Logits/Conv2d_1c_1x1/weights",
+            nn.initializers.truncated_normal(stddev=0.001),
+            (1, 1, net.shape[-1], self.num_classes),
+            jnp.float32,
+        )
+        b = self.param("Logits/Conv2d_1c_1x1/biases", nn.initializers.zeros, (self.num_classes,), jnp.float32)
+        logits = (
+            jax.lax.conv_general_dilated(
+                pooled, w.astype(pooled.dtype), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + b
+        )
+        logits = logits.squeeze((1, 2))
+        return logits, ep
+
+    def features(self, x):
+        return self(x, features_only=True)
+
+
+def preprocess_uint8(frames: jax.Array) -> jax.Array:
+    """uint8 [..., H, W, 3] -> [-1, 1] float (base.py:117-120)."""
+    return frames.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+
+
+def load_tf_slim_npz(npz_path: str, params_like) -> Any:
+    """Load a TF-slim InceptionV3 checkpoint exported as npz (variable name ->
+    array) into this module's parameter tree.
+
+    Slim names like ``InceptionV3/Mixed_5b/Branch_0/Conv2d_0a_1x1/weights``
+    and ``.../BatchNorm/{beta,moving_mean,moving_variance}`` map onto flax
+    paths ``Mixed_5b/Branch_0/Conv2d_0a_1x1/{weights,beta,...}``.
+    """
+    data = np.load(npz_path)
+    lookup = {}
+    for tf_name in data.files:
+        name = tf_name
+        if name.startswith("InceptionV3/"):
+            name = name[len("InceptionV3/") :]
+        name = name.replace("/BatchNorm/", "/")
+        lookup[name] = data[tf_name]
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params_like)
+    leaves = []
+    for path, like in flat:
+        key = "/".join(str(getattr(k, "key", k)) for k in path)
+        if key.startswith("params/"):
+            key = key[len("params/") :]
+        if key not in lookup:
+            raise KeyError(f"checkpoint missing variable for {key}")
+        arr = lookup[key]
+        if arr.shape != np.shape(like):
+            raise ValueError(f"{key}: ckpt shape {arr.shape} != model {np.shape(like)}")
+        leaves.append(jnp.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, leaves)

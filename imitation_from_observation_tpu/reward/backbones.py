@@ -1,0 +1,58 @@
+"""Pretrained-backbone feature functions for the inception reward modes.
+
+The reference restores TF-slim Inception-v3 from ``model/inception_v3.ckpt``
+and reads one endpoint (base.py:77-111, layer from config). Here the backbone
+is the flax :class:`InceptionV3`; weights load from an npz export of that
+checkpoint, or random-init for testing. The returned callable is a jitted
+uint8-frames -> feature-maps map, used as ``VisualRewardEngine(feature_fn=...)``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from imitation_from_observation_tpu.models.inception_v3 import (
+    InceptionV3,
+    load_tf_slim_npz,
+    preprocess_uint8,
+)
+
+
+def make_inception_feature_fn(
+    layer: str = "Mixed_7c",
+    params: Any = None,
+    npz_path: str | None = None,
+    input_size: tuple[int, int] | None = None,
+    seed: int = 0,
+):
+    """Build a jitted ``uint8 frames [B, H, W, 3] -> features`` function."""
+    model = InceptionV3(final_endpoint=layer)
+    if params is None:
+        size = input_size or (299, 299)
+        x = jnp.zeros((1, *size, 3), jnp.float32)
+        if npz_path:
+            like = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
+            params = load_tf_slim_npz(npz_path, like)
+        else:
+            params = model.init(jax.random.key(seed), x)
+
+    @jax.jit
+    def feature_fn(frames_u8):
+        x = preprocess_uint8(jnp.asarray(frames_u8))
+        ep = model.apply(params, x, features_only=True)
+        return ep[layer]
+
+    return feature_fn
+
+
+def classify_sanity_check(params, image_u8, top_k: int = 20):
+    """The reference's startup sanity check: classify an image and report the
+    top logits (the 'bird.jpg' check at base.py:86-89)."""
+    import numpy as np
+
+    model = InceptionV3()
+    logits, _ = model.apply(params, preprocess_uint8(jnp.asarray(image_u8[None])))
+    return np.argsort(np.asarray(logits)[0])[-top_k:]

@@ -70,8 +70,13 @@ class VisualRewardEngine:
                 demo_data = np.load(cfg.demo_data)
             if demo_data is None:
                 raise ValueError(f"mode {cfg.mode!r} needs demo_data")
-            # temporal subsample to the scored frame count (base.py:205-210)
-            self.demo_data = np.asarray(demo_data[:: cfg.skip], np.float32)
+            # temporal subsample to the scored frame count (base.py:205-210);
+            # ours stores [-1,1] floats, oursinception raw uint8 frames
+            # (base.py:211-215 feeds them through the backbone first)
+            dtype = np.uint8 if cfg.mode == "oursinception" else np.float32
+            self.demo_data = np.asarray(demo_data[:: cfg.skip], dtype)
+            if cfg.mode == "oursinception" and feature_fn is None:
+                raise ValueError("mode 'oursinception' needs a feature_fn (backbone)")
             if cfg.n_demos:
                 self.demo_data = self.demo_data[:, : cfg.n_demos]
             self._build_jits()
@@ -98,17 +103,17 @@ class VisualRewardEngine:
             return model.apply(params, src, ctx, method="translate")
 
         @jax.jit
-        def score_paths(params, frames_u8, means, mean_imgs, scale):
-            """frames_u8 [P, T, V, H, W, C] uint8; means [V, T, F];
-            mean_imgs [V, T, H, W, C] -> costs [P, T]."""
-            P, T, V = frames_u8.shape[:3]
-            x = frames_u8.astype(jnp.float32) / 127.5 - 1.0
+        def score_paths(params, x, means, mean_imgs, scale):
+            """x [P, T, V, ...] in model space; means [V, T, F];
+            mean_imgs [V, T, ...] -> costs [P, T]."""
+            P, T, V = x.shape[:3]
             flat = x.reshape(P * T * V, *x.shape[3:])
             feats = model.apply(params, flat, method="encode")
             feats = feats.reshape(P, T, V, -1).transpose(0, 2, 1, 3)  # [P,V,T,F]
-            imgs = x.transpose(0, 2, 1, 3, 4, 5)  # [P,V,T,H,W,C]
+            imgs = jnp.moveaxis(x, 2, 1)  # [P,V,T,...]
             feat_cost = jnp.sum((means[None] - feats) ** 2, axis=-1)  # [P,V,T]
-            pix_cost = jnp.sum((mean_imgs[None] - imgs) ** 2, axis=(-1, -2, -3))
+            pix_axes = tuple(range(3, imgs.ndim))
+            pix_cost = jnp.sum((mean_imgs[None] - imgs) ** 2, axis=pix_axes)
             if self.cfg.ablation == "nofeat":
                 costs = scale * pix_cost
             elif self.cfg.ablation == "noimage":
@@ -118,22 +123,42 @@ class VisualRewardEngine:
             return jnp.sum(costs, axis=1)  # sum over viewpoints -> [P, T]
 
         @jax.jit
-        def recon_paths(params, frames_u8, context_u8):
+        def recon_paths(params, x, context):
             """Autoencode agent frames through their own context; pixel L2 to
-            the originals (the 'recon' ablation's image term)."""
-            P, T, V = frames_u8.shape[:3]
-            x = frames_u8.astype(jnp.float32) / 127.5 - 1.0
+            the originals (the 'recon' ablation's image term). x [P,T,V,...]
+            and context [V,...] already in model space."""
+            P, T, V = x.shape[:3]
             flat = x.reshape(P * T * V, *x.shape[3:])
-            ctx = jnp.broadcast_to(
-                context_u8.astype(jnp.float32) / 127.5 - 1.0, (P, T, *context_u8.shape)
-            ).reshape(P * T * V, *context_u8.shape[1:])
+            ctx = jnp.broadcast_to(context, (P, T, *context.shape)).reshape(
+                P * T * V, *context.shape[1:]
+            )
             _, out = model.apply(params, flat, ctx, method="translate")
-            err = jnp.sum((out - flat) ** 2, axis=(-1, -2, -3)).reshape(P, T, V)
+            pix_axes = tuple(range(1, out.ndim))
+            err = jnp.sum((out - flat) ** 2, axis=pix_axes).reshape(P, T, V)
             return jnp.sum(err, axis=-1)
 
         self._translate_chunk = translate_chunk
         self._score_paths = score_paths
         self._recon_paths = recon_paths
+
+    # -- model-space mapping ------------------------------------------------
+    def _frames_to_model_space(self, frames_u8: np.ndarray) -> np.ndarray:
+        """uint8 frames [..., H, W, C] -> the translation model's input space:
+        [-1, 1] pixels (ours) or backbone feature maps (oursinception,
+        base.py:122-137 routes frames through Inception Mixed_7c first)."""
+        if self.cfg.mode == "oursinception":
+            lead = frames_u8.shape[:-3]
+            flat = frames_u8.reshape(-1, *frames_u8.shape[-3:])
+            feats = np.asarray(self.feature_fn(flat), np.float32)
+            return feats.reshape(*lead, *feats.shape[1:])
+        return frames_u8.astype(np.float32) / 127.5 - 1.0
+
+    def _demos_to_model_space(self, vids: np.ndarray) -> np.ndarray:
+        """demo chunk [T, n, ...]: stored [-1,1] frames (ours) or uint8 frames
+        routed through the backbone (oursinception, base.py:211-215)."""
+        if self.cfg.mode == "oursinception":
+            return self._frames_to_model_space(vids)
+        return vids
 
     # -- warmup: demo translation cache (base.py:195-226) ------------------
     def _warmup(self, context_frames: np.ndarray) -> None:
@@ -141,22 +166,21 @@ class VisualRewardEngine:
         T, N = self.demo_data.shape[:2]
         self.means, self.imgs = [], []
         for vp in range(self.nvp):
-            ctx = jnp.asarray(context_frames[vp], jnp.float32) / 127.5 - 1.0
-            z_acc = np.zeros((T, 0), np.float32)
+            ctx = jnp.asarray(self._frames_to_model_space(context_frames[vp]))
             zs, outs = [], []
             c = self.chunk_videos
             for start in range(0, N, c):
-                vids = self.demo_data[:, start : start + c]  # [T, n, H, W, C]
+                vids = self._demos_to_model_space(self.demo_data[:, start : start + c])
                 n = vids.shape[1]
-                src = jnp.asarray(vids.transpose(1, 0, 2, 3, 4).reshape(n * T, *vids.shape[2:]))
+                src = jnp.asarray(np.moveaxis(vids, 1, 0).reshape(n * T, *vids.shape[2:]))
                 ctx_b = jnp.broadcast_to(ctx, (n * T, *ctx.shape))
                 z, out = self._translate_chunk(self.params, src, ctx_b)
                 zs.append(np.asarray(z, np.float32).reshape(n, T, -1))
-                outs.append(np.asarray(out, np.float32).reshape(n, T, *vids.shape[2:]))
+                outs.append(np.asarray(out, np.float32).reshape(n, T, *out.shape[1:]))
             z_all = np.concatenate(zs)  # [N, T, F]
             out_all = np.concatenate(outs)
             self.means.append(z_all.mean(axis=0))  # [T, F]
-            self.imgs.append(out_all.mean(axis=0))  # [T, H, W, C]
+            self.imgs.append(out_all.mean(axis=0))  # [T, ...]
 
     # -- per-iteration splice ---------------------------------------------
     def process(self, paths: list[dict[str, Any]]) -> list[dict[str, Any]]:
@@ -177,26 +201,25 @@ class VisualRewardEngine:
             frame_stacks.append(np.stack(frames))  # [T, V, H, W, C]
             frame_counts.append(len(frames))
         T = min(frame_counts)
-        batch = np.stack([f[:T] for f in frame_stacks])  # [P, T, V, H, W, C]
+        batch_u8 = np.stack([f[:T] for f in frame_stacks])  # [P, T, V, H, W, C]
 
         if self.means is None:
-            self._warmup(batch[0, 0])  # first rollout's first rendered frame
+            self._warmup(batch_u8[0, 0])  # first rollout's first rendered frame
         means = jnp.asarray(np.stack(self.means)[:, :T])
         mean_imgs = jnp.asarray(np.stack(self.imgs)[:, :T])
+        batch = jnp.asarray(self._frames_to_model_space(batch_u8))
 
         if self.cfg.ablation == "recon":
-            feat = np.asarray(
-                self._score_paths(self.params, jnp.asarray(batch), means, mean_imgs, 0.0)
-            )
+            feat = np.asarray(self._score_paths(self.params, batch, means, mean_imgs, 0.0))
             recon = np.asarray(
-                self._recon_paths(self.params, jnp.asarray(batch), jnp.asarray(batch[0, 0]))
+                self._recon_paths(
+                    self.params, batch, jnp.asarray(self._frames_to_model_space(batch_u8[0, 0]))
+                )
             )
             costs = feat + self.cfg.scale * recon
         else:
             costs = np.asarray(
-                self._score_paths(
-                    self.params, jnp.asarray(batch), means, mean_imgs, self.cfg.scale
-                )
+                self._score_paths(self.params, batch, means, mean_imgs, self.cfg.scale)
             )
         # splice: rendered frame j came from env step 2j+1 (base.py:256-257)
         for p, cost in zip(paths, costs):

@@ -146,3 +146,71 @@ def test_multi_viewpoint_costs_sum():
     eng.process(paths)
     assert len(eng.means) == 2
     assert paths[0]["rewards"][3] < 0
+
+
+def test_oursinception_mode_smoke():
+    """oursinception: frames route through a backbone into feature space,
+    ContextFeat translates there (base.py:122-137). Tiny backbone-ish
+    feature_fn + tiny ContextFeat keep it CPU-fast."""
+    F_HW, F_C = 4, 32
+    n_demo = 3
+
+    def feature_fn(frames_u8):  # stand-in backbone: avg-pool + channel tile
+        x = jnp.asarray(frames_u8, jnp.float32) / 255.0 * 2 - 1
+        x = x.reshape(x.shape[0], F_HW, HW // F_HW, F_HW, HW // F_HW, 3).mean(axis=(2, 4))
+        return jnp.tile(x, (1, 1, 1, F_C // 3 + 1))[..., :F_C]
+
+    model_cfg = TranslationModelConfig(
+        model="context_feat",
+        strides=(1, 2, 1, 2),
+        kernels=(3, 3, 3, 3),
+        filters=(16, 16, 8, 8),
+        feat_size=16,
+    )
+    from imitation_from_observation_tpu.models import ContextFeat
+
+    model = ContextFeat(
+        strides=(1, 2, 1, 2), kernels=(3, 3, 3, 3), filters=(16, 16, 8, 8),
+        feat_size=16, feature_hw=(F_HW, F_HW), feature_channels=F_C,
+    )
+    x = jnp.zeros((1, F_HW, F_HW, F_C), jnp.float32)
+    params = model.init(jax.random.key(0), x, x, x)
+    rng = np.random.default_rng(0)
+    demo_u8 = rng.integers(0, 255, (T, n_demo, HW, HW, 3), dtype=np.uint8)
+    eng = VisualRewardEngine(
+        RewardConfig(mode="oursinception", scale=0.01),
+        model_cfg,
+        params=params,
+        demo_data=demo_u8,
+        feature_fn=feature_fn,
+    )
+    # engine builds its own model from cfg; override with our custom-shape one
+    eng.model = model
+    eng._build_jits()
+    paths = _make_paths(n_paths=2, seed=9)
+    eng.process(paths)
+    assert paths[0]["rewards"][3] < 0  # costs spliced
+    assert eng.means[0].shape == (T, 16)
+    assert eng.imgs[0].shape == (T, F_HW, F_HW, F_C)
+
+
+def test_inception_mode_zscore(tmp_path):
+    """inception mode: z-scored activation error vs stored expert means
+    (base.py:179-189)."""
+    feat_shape = (2, 2, 8)
+
+    def feature_fn(frames_u8):
+        x = np.asarray(frames_u8, np.float32).mean(axis=(1, 2, 3))
+        return np.tile(x[:, None, None, None], (1, *feat_shape))
+
+    means = np.zeros((T, *feat_shape), np.float32)
+    std = np.ones((T, *feat_shape), np.float32)
+    np.savez(tmp_path / "means.npz", **{"Mixed_7c": means, "Mixed_7cstd": std})
+    eng = VisualRewardEngine(
+        RewardConfig(mode="inception", mean_file=str(tmp_path / "means.npz")),
+        feature_fn=feature_fn,
+    )
+    paths = _make_paths(n_paths=1, seed=10)
+    eng.process(paths)
+    r = paths[0]["rewards"]
+    assert r[1] == 0.0 and all(r[2 * j + 1] <= 0 for j in range(T))
