@@ -1,0 +1,108 @@
+"""TPIL/GAIL baseline tests: gradient reversal, discriminator learning,
+alternating trainer smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imitation_from_observation_tpu.baselines_tpil import (
+    DomainConfusionVelocityDiscriminator,
+    TpilTrainer,
+    gradient_reversal,
+)
+from imitation_from_observation_tpu.baselines_tpil.trainer import velocity_pairs
+from imitation_from_observation_tpu.core.config import EnvConfig
+from imitation_from_observation_tpu.rl import GaussianMLPPolicy, LinearFeatureBaseline, TRPO
+from imitation_from_observation_tpu.sim import NormalizedEnv, make_env
+
+
+def test_gradient_reversal():
+    def f(x):
+        return jnp.sum(gradient_reversal(x, 0.2) ** 2)
+
+    x = jnp.asarray([1.0, -2.0])
+    np.testing.assert_allclose(np.asarray(gradient_reversal(x, 0.2)), [1.0, -2.0])
+    g = jax.grad(f)(x)
+    np.testing.assert_allclose(np.asarray(g), [-0.4, 0.8], rtol=1e-6)  # -(0.2)*2x
+
+
+def test_discriminator_learns_classes(rng):
+    hw = 16
+    disc = DomainConfusionVelocityDiscriminator((hw, hw, 3))
+    # expert pairs: bright frames; novice: dark frames
+    n = 64
+    expert = rng.random((n, hw, hw, 3)).astype(np.float32) * 0.5 + 0.5
+    novice = rng.random((n, hw, hw, 3)).astype(np.float32) * 0.5 - 1.0
+    f1 = np.vstack([expert, novice])
+    f2 = f1.copy()
+    classes = np.vstack([np.tile([1, 0], (n, 1)), np.tile([0, 1], (n, 1))]).astype(np.float32)
+    domains = classes.copy()
+    for _ in range(30):
+        loss, acc = disc.train([f1, f2], dict(classes=classes, domains=domains))
+    assert acc > 0.9, acc
+    p = disc.get_reward([expert, expert])
+    assert p[:, 0].mean() > 0.6  # P(expert) high on expert frames
+
+
+def test_velocity_pairs():
+    frames = np.arange(6)[:, None].astype(np.float32)
+    f1, f2 = velocity_pairs(frames, offset=3)
+    np.testing.assert_array_equal(f2[:, 0], [3, 4, 5, 5, 5, 5])
+
+
+def test_tpil_trainer_iteration(tmp_path):
+    hw, horizon = 16, 6
+    cfg = dict(image_size=(hw, hw), render_size=(64, 64), horizon=horizon)
+    novice_env = NormalizedEnv(make_env("pusher3dof", EnvConfig(name="pusher3dof", seed=0, **cfg)))
+    expert_env = NormalizedEnv(make_env("pusher3dof", EnvConfig(name="pusher3dof", seed=1, **cfg)))
+    obs_dim = novice_env.observation_space.flat_dim
+    novice = GaussianMLPPolicy(obs_dim, 3, hidden=(8,), init_std=1.0, seed=0)
+    expert = GaussianMLPPolicy(obs_dim, 3, hidden=(8,), init_std=1.0, seed=1)
+    fail = GaussianMLPPolicy(obs_dim, 3, hidden=(8,), init_std=1.0, seed=2)
+    disc = DomainConfusionVelocityDiscriminator((hw, hw, 3))
+    trainer = TpilTrainer(
+        disc,
+        novice,
+        novice_env,
+        expert_env,
+        expert,
+        expert_fail_policy=fail,
+        policy_optimizer=TRPO(novice),
+        baseline=LinearFeatureBaseline(),
+        horizon=horizon,
+        batch_size=16,
+        disc_epochs=1,
+    )
+    row = trainer.take_iteration(n_trajs_cost=2, n_trajs_policy=3)
+    assert "GanLoss" in row and np.isfinite(row["GanLoss"])
+    assert "ReturnTrue" in row
+    assert trainer.iteration == 1
+    novice_env.close(); expert_env.close()
+
+
+def test_gail_variant_smoke(tmp_path):
+    """GAIL = no expert-fail group, no domain-confusion loss."""
+    hw, horizon = 16, 4
+    cfg = dict(image_size=(hw, hw), render_size=(64, 64), horizon=horizon)
+    novice_env = NormalizedEnv(make_env("pusher3dof", EnvConfig(name="pusher3dof", seed=0, **cfg)))
+    expert_env = NormalizedEnv(make_env("pusher3dof", EnvConfig(name="pusher3dof", seed=1, **cfg)))
+    obs_dim = novice_env.observation_space.flat_dim
+    novice = GaussianMLPPolicy(obs_dim, 3, hidden=(8,), init_std=1.0, seed=0)
+    expert = GaussianMLPPolicy(obs_dim, 3, hidden=(8,), init_std=1.0, seed=1)
+    disc = DomainConfusionVelocityDiscriminator((hw, hw, 3), dom_loss_weight=0.0)
+    trainer = TpilTrainer(
+        disc,
+        novice,
+        novice_env,
+        expert_env,
+        expert,
+        policy_optimizer=TRPO(novice),
+        baseline=LinearFeatureBaseline(),
+        horizon=horizon,
+        batch_size=16,
+        disc_epochs=1,
+        use_expert_fail=False,
+    )
+    row = trainer.take_iteration(n_trajs_cost=2, n_trajs_policy=2)
+    assert np.isfinite(row["GanLoss"])
+    novice_env.close(); expert_env.close()
