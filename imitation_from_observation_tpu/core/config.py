@@ -98,6 +98,10 @@ class EnvConfig(_Base):
     bgcolor: tuple[float, ...] | None = None
     armcolor: tuple[float, ...] | None = None
     render_frames: bool = True  # render odd-step frames into info
+    # emit the task's shaped distance reward instead of 0 — used to train
+    # oracle experts for demo generation (the visual-imitation loop always
+    # runs with 0 native reward, like the reference envs)
+    dense_reward: bool = False
     seed: int = 0
 
 

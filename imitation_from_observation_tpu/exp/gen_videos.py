@@ -1,0 +1,77 @@
+"""Demo-video generation: roll out an expert and record mp4 demos.
+
+Capability match for reference ``scripts/gen_videos.py`` + the gym monitor's
+ffmpeg recorder (gym/monitoring/video_recorder.py): each episode renders
+every step from a randomized viewpoint/context and is written as a 51-frame
+mp4 (initial frame + 50 steps — the frame count the trainer's ingest filters
+on, train_script.py:70), named ``video%05d.mp4``. Episodes report
+``reward_true`` so bad demos can be filtered.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from imitation_from_observation_tpu.core.config import EnvConfig
+from imitation_from_observation_tpu.core.log import get_logger
+from imitation_from_observation_tpu.core.rng import RngStream
+from imitation_from_observation_tpu.sim import NormalizedEnv, make_env
+from imitation_from_observation_tpu.video.io import write_mp4
+
+
+def record_rollout(env, policy, horizon: int, rng: RngStream, record_size=(500, 500)):
+    """Roll out and capture a full-rate frame sequence: [horizon+1, H, W, 3]."""
+    base = env.env if isinstance(env, NormalizedEnv) else env
+    obs = env.reset()
+    frames = [base.render(0, record_size)]
+    total_true = 0.0
+    for _ in range(horizon):
+        action, _ = policy.get_action(np.asarray(obs), rng.next())
+        obs, _, done, info = env.step(action)
+        frames.append(base.render(0, record_size))
+        total_true += float(info.get("reward_true", 0.0))
+        if done:
+            break
+    return np.stack(frames), total_true
+
+
+def generate_demo_videos(
+    task: str,
+    policy,
+    out_dir: str,
+    n_videos: int,
+    horizon: int = 50,
+    record_size: tuple[int, int] = (500, 500),
+    env_overrides: dict | None = None,
+    seed: int = 0,
+    min_true_reward: float | None = None,
+) -> list[str]:
+    """Each video gets a fresh env (new random viewpoint + context), like the
+    reference's per-episode monitor loop (gen_videos.py:34-45)."""
+    log = get_logger()
+    os.makedirs(out_dir, exist_ok=True)
+    rng = RngStream(seed)
+    env_kw = dict(render_frames=False, horizon=horizon)
+    env_kw.update(env_overrides or {})
+    written = []
+    trues = []
+    i = 0
+    attempts = 0
+    while len(written) < n_videos and attempts < 10 * n_videos:
+        attempts += 1
+        env = NormalizedEnv(make_env(task, EnvConfig(name=task, seed=seed + attempts, **env_kw)))
+        frames, total_true = record_rollout(env, policy, horizon, rng, record_size)
+        env.close()
+        if min_true_reward is not None and total_true < min_true_reward:
+            continue
+        path = os.path.join(out_dir, f"video{i:05d}.mp4")
+        write_mp4(path, frames)
+        written.append(path)
+        trues.append(total_true)
+        i += 1
+        if i % 10 == 0:
+            log.log(f"recorded {i}/{n_videos} demos (mean reward_true {np.mean(trues):.3f})")
+    log.log(f"done: {len(written)} demos, mean reward_true {np.mean(trues) if trues else 0:.3f}")
+    return written

@@ -1,0 +1,174 @@
+"""Experiment launchers for the five benchmark configs (BASELINE.json):
+
+1. reach  — Reacher3DOF context translation (+ visual-reward TRPO)
+2. push   — Pusher3DOF translation training + feature/pixel L2 reward TRPO
+3. sweep  — Cleaner multi-context translation with held-out-context eval
+4. strike — Striker, incl. the Inception-feature variant
+5. real   — real-to-sim pushing through Inception features
+
+Replaces the reference's ``sandbox/andrew/run_trpo_*.py`` +
+``run_train_*.py`` launcher scripts and the stub/pickle dispatch of
+``rllab/misc/instrument.py``: each stage is a typed function over
+``ExperimentConfig``; ``run_pipeline`` chains expert -> demos -> translation
+-> visual TRPO end to end.
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import os
+
+import numpy as np
+
+from imitation_from_observation_tpu.core.config import (
+    EnvConfig,
+    ExperimentConfig,
+    RewardConfig,
+    RLConfig,
+    TrainConfig,
+    TranslationModelConfig,
+    preset,
+)
+from imitation_from_observation_tpu.core.log import Logger
+from imitation_from_observation_tpu.reward import VisualRewardEngine
+from imitation_from_observation_tpu.rl import (
+    BatchPolopt,
+    GaussianMLPPolicy,
+    LinearFeatureBaseline,
+    TRPO,
+    ZeroBaseline,
+)
+from imitation_from_observation_tpu.sim import NormalizedEnv, VecEnv, make_env
+from imitation_from_observation_tpu.train import TranslationTrainer
+from imitation_from_observation_tpu.video.dataset import build_video_dataset
+
+
+def run_translation_training(cfg: ExperimentConfig, video_glob: str, vdata=None):
+    """Stage 2: train the context-translation model (== ModelTrainer.train)."""
+    log_dir = os.path.join(cfg.log_dir, "translation")
+    if vdata is None:
+        vdata = build_video_dataset(
+            video_glob,
+            image_size=cfg.model.image_size,
+            n_videos=cfg.train.n_videos,
+            video_len=cfg.env.horizon + 1,  # initial frame + horizon steps (=51)
+            n_skip=cfg.train.n_skip,
+            rescale=cfg.train.rescale,
+            seed=cfg.train.seed,
+            cache_path=os.path.join(log_dir, "vdata.npy"),
+        )
+    trainer = TranslationTrainer(cfg.model, cfg.train, vdata, log_dir=log_dir)
+    trainer.train()
+    return trainer
+
+
+def _vec_env(cfg: ExperimentConfig, render: bool):
+    env_kw = cfg.env.replace(render_frames=render)
+
+    def mk(i):
+        return lambda: NormalizedEnv(make_env(cfg.env.name, env_kw.replace(seed=cfg.rl.seed + i)))
+
+    return VecEnv([mk(i) for i in range(cfg.rl.n_envs)], max_path_length=cfg.rl.max_path_length)
+
+
+def run_visual_trpo(
+    cfg: ExperimentConfig,
+    params=None,
+    demo_data=None,
+    feature_fn=None,
+    resume_from: str | None = None,
+):
+    """Stage 3: reward-driven TRPO (== run_trpo_*.py with mode ours/oracle/
+    inception...)."""
+    log_dir = os.path.join(cfg.log_dir, "rl")
+    render = cfg.reward.mode not in ("oracle", "none")
+    vec = _vec_env(cfg, render)
+    obs_dim = vec.observation_space.flat_dim
+    act_dim = vec.action_space.flat_dim
+    policy = GaussianMLPPolicy(
+        obs_dim, act_dim, hidden=cfg.rl.policy_hidden, init_std=cfg.rl.init_std, seed=cfg.rl.seed
+    )
+    if resume_from:
+        from imitation_from_observation_tpu.core.checkpoint import load_pytree
+
+        policy.params = load_pytree(resume_from, policy.params)
+    engine = VisualRewardEngine(
+        cfg.reward,
+        cfg.model,
+        params=params,
+        demo_data=demo_data,
+        n_viewpoints=cfg.env.n_viewpoints,
+        feature_fn=feature_fn,
+    )
+    baseline = LinearFeatureBaseline() if cfg.rl.baseline == "linear" else ZeroBaseline()
+    algo = BatchPolopt(
+        vec,
+        policy,
+        baseline,
+        TRPO(
+            policy,
+            step_size=cfg.rl.step_size,
+            cg_iters=cfg.rl.cg_iters,
+            reg_coeff=cfg.rl.cg_damping,
+            backtrack_ratio=cfg.rl.backtrack_ratio,
+            max_backtracks=cfg.rl.max_backtracks,
+        ),
+        cfg.rl,
+        reward_engine=engine,
+        log_dir=log_dir,
+    )
+    history = algo.train()
+    vec.close()
+    return policy, history
+
+
+def run_pipeline(
+    task: str,
+    log_dir: str,
+    n_demos: int = 40,
+    expert_iters: int = 30,
+    translation_iters: int = 2000,
+    rl_iters: int = 10,
+    scale: float = 1.0,
+    seed: int = 0,
+    cfg: ExperimentConfig | None = None,
+):
+    """The full paper pipeline at configurable scale: train oracle expert ->
+    record demo videos -> train translation model -> visual-reward TRPO.
+    Pass ``cfg`` to override the task preset (model/env sizes etc.)."""
+    from imitation_from_observation_tpu.core.checkpoint import load_pytree
+    from imitation_from_observation_tpu.exp.gen_videos import generate_demo_videos
+    from imitation_from_observation_tpu.exp.train_expert import train_expert
+
+    cfg = cfg or preset(task)
+    cfg = cfg.replace(
+        log_dir=log_dir,
+        rl=cfg.rl.replace(n_iters=rl_iters, seed=seed),
+        train=cfg.train.replace(n_iters=translation_iters, n_videos=n_demos, n_train=int(n_demos * 0.8)),
+        reward=cfg.reward.replace(mode="ours", scale=scale),
+    )
+    expert_path = os.path.join(log_dir, "expert")
+    expert_rl = RLConfig(
+        batch_size=min(2000, 40 * cfg.env.horizon),
+        max_path_length=cfg.env.horizon,
+        n_iters=expert_iters,
+        n_envs=20,
+        seed=seed,
+        snapshot_mode="none",
+    )
+    expert = train_expert(
+        task,
+        expert_path,
+        rl=expert_rl,
+        env_overrides=dict(horizon=cfg.env.horizon),
+        log_dir=os.path.join(log_dir, "expert_logs"),
+    )
+    video_dir = os.path.join(log_dir, "videos")
+    generate_demo_videos(
+        task, expert, video_dir, n_demos, horizon=cfg.env.horizon, seed=seed
+    )
+    trainer = run_translation_training(cfg, os.path.join(video_dir, "*.mp4"))
+    # held-out demos -> reward engine demo data (reference modeldata npy)
+    demo_data = trainer.valid_data
+    policy, history = run_visual_trpo(cfg, params=trainer.state.params, demo_data=demo_data)
+    return dict(expert=expert, trainer=trainer, policy=policy, history=history)

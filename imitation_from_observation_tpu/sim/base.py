@@ -103,9 +103,12 @@ class MujocoTask:
         obs, info = self._task_step(np.asarray(action, np.float64))
         info.setdefault("frames", self._maybe_render_frames())
         self.itr += 1
-        # native reward is always 0 in visual modes — the reward engine
-        # splices costs in from frames (reference pusher3dof.py:43)
-        return obs, 0.0, False, info
+        # native reward is 0 in visual modes — the reward engine splices
+        # costs in from frames (reference pusher3dof.py:43). With
+        # dense_reward the task's shaped reward is emitted instead (used to
+        # train oracle experts for demo generation).
+        reward = info.get("dense_reward", 0.0) if self.config.dense_reward else 0.0
+        return obs, reward, False, info
 
     def set_state(self, qpos: np.ndarray, qvel: np.ndarray) -> None:
         self.data.qpos[:] = qpos

@@ -27,13 +27,16 @@ class Pusher3DOF(MujocoTask):
         pobj = self.body_com("object")
         pgoal = self.body_com("goal")
         reward_dist = -float(np.linalg.norm(pgoal - pobj))
+        reward_ctrl = -float(np.square(a).sum())
         self.do_simulation(a, self.frame_skip)
         reward_true = 0.0
         if self.itr == 0:
             self.reward_orig = -reward_dist
         if self.itr == self.config.horizon - 1:
             reward_true = reward_dist / self.reward_orig
-        return self._get_obs(), dict(reward_true=reward_true)
+        return self._get_obs(), dict(
+            reward_true=reward_true, dense_reward=reward_dist + 0.001 * reward_ctrl
+        )
 
     def reset_model(self) -> np.ndarray:
         qpos = self.rng.uniform(-0.1, 0.1, self.model.nq) + self.init_qpos
@@ -87,13 +90,16 @@ class Reacher3DOF(MujocoTask):
         parm = self.body_com("distal_4")
         pgoal = self.body_com("goal")
         reward_dist = -float(np.linalg.norm(parm - pgoal))
+        reward_ctrl = -float(np.square(a).sum())
         self.do_simulation(a, self.frame_skip)
         reward_true = 0.0
         if self.itr == 0:
             self.reward_orig = -reward_dist
         if self.itr == self.config.horizon - 1:
             reward_true = reward_dist / self.reward_orig
-        return self._get_obs(), dict(reward_true=reward_true)
+        return self._get_obs(), dict(
+            reward_true=reward_true, dense_reward=reward_dist + 0.001 * reward_ctrl
+        )
 
     def reset_model(self) -> np.ndarray:
         qpos = self.rng.uniform(-0.1, 0.1, self.model.nq) + self.init_qpos
@@ -149,12 +155,18 @@ class Cleaner(MujocoTask):
         pgoal = self.body_com("goal")
         objs = [self.body_com(f"object{i}") for i in range(5)]
         true_reward = -sum(float(np.linalg.norm(o - pgoal)) for o in objs)
+        reward_touch = -sum(float(np.linalg.norm(parm - o)) for o in objs)
+        diff_x = -abs(
+            float(self.site_pos("tip_arml")[1]) - float(self.site_pos("tip_armr")[1])
+        )
+        reward_ctrl = -float(np.square(a).sum())
+        dense = true_reward + reward_touch + 10 * diff_x + 0.001 * reward_ctrl
         if self.itr == 0:
             self.reward_orig = -true_reward
         true_reward /= self.reward_orig
         self.do_simulation(a, self.frame_skip)
         reward_true = true_reward if self.itr == self.config.horizon - 1 else 0.0
-        return self._get_obs(), dict(reward_true=reward_true)
+        return self._get_obs(), dict(reward_true=reward_true, dense_reward=dense)
 
     def camera_pose(self, vp: int = 0):
         return np.zeros(3), 4.0, -45.0, self._azimuth(vp)
@@ -200,7 +212,10 @@ class Striker(MujocoTask):
         if self.itr == self.config.horizon - 1:
             reward_true = -actual_dist / self.reward_orig
         return self._get_obs(), dict(
-            reward_dist=reward_dist, reward_ctrl=reward_ctrl, reward_true=reward_true
+            reward_dist=reward_dist,
+            reward_ctrl=reward_ctrl,
+            reward_true=reward_true,
+            dense_reward=3 * reward_dist + 0.1 * reward_ctrl + 0.5 * reward_near,
         )
 
     def camera_pose(self, vp: int = 0):
@@ -269,7 +284,10 @@ class Thrower(MujocoTask):
         if self.itr == self.config.horizon - 1:
             reward_true = reward_actual / self.reward_orig
         return self._get_obs(), dict(
-            reward_dist=reward_dist, reward_ctrl=reward_ctrl, reward_true=reward_true
+            reward_dist=reward_dist,
+            reward_ctrl=reward_ctrl,
+            reward_true=reward_true,
+            dense_reward=reward_dist + 0.002 * reward_ctrl,
         )
 
     def camera_pose(self, vp: int = 0):
