@@ -5,6 +5,26 @@ from imitation_from_observation_tpu.rl.sampler import VectorizedSampler, rollout
 from imitation_from_observation_tpu.rl.trpo import TRPO
 from imitation_from_observation_tpu.rl.vpg import VPG
 from imitation_from_observation_tpu.rl.algo import BatchPolopt
+from imitation_from_observation_tpu.rl.ppo import PPO
+from imitation_from_observation_tpu.rl.erwr import ERWR
+from imitation_from_observation_tpu.rl.reps import REPS
+from imitation_from_observation_tpu.rl.ddpg import DDPG
+from imitation_from_observation_tpu.rl.evolution import CEM, CMAES
+
+
+def TNPG(policy, **kwargs):
+    """Truncated natural policy gradient (reference rllab/algos/tnpg.py):
+    TRPO's CG direction taken without backtracking (one full step)."""
+    kwargs.setdefault("max_backtracks", 1)
+    kwargs.setdefault("accept_violation", True)
+    return TRPO(policy, **kwargs)
+
+
+class NOP:
+    """No-op optimizer (reference rllab/algos/nop.py) — for debugging loops."""
+
+    def optimize(self, samples):
+        return {}
 
 __all__ = [
     "LinearFeatureBaseline",
@@ -17,4 +37,12 @@ __all__ = [
     "TRPO",
     "VPG",
     "BatchPolopt",
+    "PPO",
+    "ERWR",
+    "REPS",
+    "DDPG",
+    "CEM",
+    "CMAES",
+    "TNPG",
+    "NOP",
 ]
