@@ -59,6 +59,30 @@ def _context_feat(cfg: TranslationModelConfig) -> ContextFeat:
     )
 
 
+def _register_variants() -> None:
+    from imitation_from_observation_tpu.models.zoo_variants import (
+        CONTEXT_VARIANTS,
+        ContextVariant,
+    )
+
+    def make(name: str, flags: dict):
+        @register(name)
+        def _build(cfg: TranslationModelConfig, _flags=flags):
+            return ContextVariant(
+                base_filters=cfg.base_filters,
+                feat_size=cfg.feat_size,
+                image_size=tuple(cfg.image_size),
+                channels=cfg.channels,
+                **_flags,
+            )
+
+    for name, flags in CONTEXT_VARIANTS.items():
+        make(name, flags)
+
+
+_register_variants()
+
+
 def build_model(cfg: TranslationModelConfig):
     if cfg.model not in MODEL_REGISTRY:
         raise KeyError(f"unknown model {cfg.model!r}; have {sorted(MODEL_REGISTRY)}")
