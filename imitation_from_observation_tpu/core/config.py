@@ -51,6 +51,7 @@ class TranslationModelConfig(_Base):
     filters: tuple[int, ...] = (1024, 1024, 512, 512)
     dropout_rate: float = 0.5  # context_small only (1 - keep_prob)
     sim_weight: float = 1e3  # simloss multiplier (arm_shaping.py:1345)
+    loss_ablation: str = "none"  # none | L2 | L2L3 | L1 (ablations.py:175-182)
     dtype: str = "bfloat16"  # compute dtype on TPU; params are float32
 
 

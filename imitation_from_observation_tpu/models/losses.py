@@ -28,12 +28,28 @@ def l2_loss(x: jax.Array) -> jax.Array:
 
 
 def translation_loss(
-    outputs: TranslationOutputs, tgt: jax.Array, sim_weight: float = 1e3
+    outputs: TranslationOutputs,
+    tgt: jax.Array,
+    sim_weight: float = 1e3,
+    ablation: str = "none",
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """``ablation`` selects the loss-term combination of the reference's
+    ablation study (ablations_code/ablations.py:175-182):
+    none = recon1+recon2+sim; L2 = recon1+recon2; L2L3 = recon1;
+    L1 = recon2+sim."""
     tgt = tgt.astype(jnp.float32)
     recon1 = l2_loss(tgt - outputs.out)
     recon2 = l2_loss(tgt - outputs.out2)
     diff = outputs.trans_z.astype(jnp.float32) - outputs.tgt_z.astype(jnp.float32)
     simloss = jnp.mean(diff * diff) * sim_weight
-    loss = recon1 + recon2 + simloss
+    if ablation in ("none", "None"):
+        loss = recon1 + recon2 + simloss
+    elif ablation == "L2":
+        loss = recon1 + recon2
+    elif ablation == "L2L3":
+        loss = recon1
+    elif ablation == "L1":
+        loss = recon2 + simloss
+    else:
+        raise ValueError(f"unknown loss ablation {ablation!r}")
     return loss, {"loss": loss, "recon1": recon1, "recon2": recon2, "simloss": simloss}

@@ -84,7 +84,7 @@ class TranslationTrainer:
         self.valid_sampler = PairSampler(self.valid_data, self.batch_size, seed=train_cfg.seed + 1)
 
         self.tx = optax.adam(train_cfg.learning_rate)
-        self._has_dropout = model_cfg.model == "context_small"
+        self._has_dropout = model_cfg.model in ("context_small", "context_vanilla_drop")
         self.state = self._init_state()
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
@@ -110,7 +110,7 @@ class TranslationTrainer:
             )
         else:
             outs = self.model.apply(params, src, ctx, tgt)
-        return translation_loss(outs, tgt, self.model_cfg.sim_weight)
+        return translation_loss(outs, tgt, self.model_cfg.sim_weight, self.model_cfg.loss_ablation)
 
     def _build_train_step(self):
         @partial(jax.jit, donate_argnums=(0,))
@@ -129,7 +129,7 @@ class TranslationTrainer:
         @jax.jit
         def eval_step(params, src, ctx, tgt):
             outs = self.model.apply(params, src, ctx, tgt)
-            _, metrics = translation_loss(outs, tgt, self.model_cfg.sim_weight)
+            _, metrics = translation_loss(outs, tgt, self.model_cfg.sim_weight, self.model_cfg.loss_ablation)
             metrics["nn_err"] = nn_err_metric(tgt, outs.out, self.nlen)
             return metrics, outs
 

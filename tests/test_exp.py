@@ -137,3 +137,40 @@ def test_full_pipeline_tiny(tmp_path):
     assert len(os.listdir(tmp_path / "videos")) == 6
     assert os.path.exists(tmp_path / "translation" / "vdata.npy")
     assert os.path.exists(tmp_path / "rl" / "progress.csv")
+
+
+def test_ablation_trainer(tmp_path):
+    """Loss ablations: L2L3 trains on recon1 only and still runs end-to-end."""
+    from imitation_from_observation_tpu.exp.ablations import run_ablation
+
+    rng = np.random.default_rng(0)
+    vdata = rng.uniform(-1, 1, (4, 8, 16, 16, 3)).astype(np.float32)
+    tr = run_ablation(
+        "push", "L2L3", vdata, log_dir=str(tmp_path), n_iters=3, batch_size=8,
+        model_overrides=dict(image_size=(16, 16), base_filters=8, feat_size=32),
+        train_overrides=dict(eval_every=3, log_every=10),
+    )
+    assert int(tr.state.step) == 3
+    assert tr.model_cfg.loss_ablation == "L2L3"
+
+
+def test_loss_ablation_combos():
+    import jax
+    import jax.numpy as jnp
+
+    from imitation_from_observation_tpu.models import ContextSkip, translation_loss
+
+    model = ContextSkip(base_filters=8, feat_size=32, image_size=(16, 16))
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 16, 16, 3)), jnp.float32)
+    params = model.init(jax.random.key(0), x, x, x)
+    outs = model.apply(params, x, x, x)
+    losses = {
+        abl: float(translation_loss(outs, x, ablation=abl)[0])
+        for abl in ["none", "L2", "L2L3", "L1"]
+    }
+    _, m = translation_loss(outs, x)
+    r1, r2, sim = float(m["recon1"]), float(m["recon2"]), float(m["simloss"])
+    np.testing.assert_allclose(losses["none"], r1 + r2 + sim, rtol=1e-5)
+    np.testing.assert_allclose(losses["L2"], r1 + r2, rtol=1e-5)
+    np.testing.assert_allclose(losses["L2L3"], r1, rtol=1e-5)
+    np.testing.assert_allclose(losses["L1"], r2 + sim, rtol=1e-5)
