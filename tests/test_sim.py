@@ -116,3 +116,24 @@ def test_vec_env_lockstep_and_autoreset():
     assert dones.all()  # auto-reset at max_path_length
     assert obs.shape[0] == 3
     vec.close()
+
+
+def test_subproc_vec_env():
+    """Process-parallel executor matches the in-process one's API and
+    auto-resets at max_path_length (the stateful_pool capability tier)."""
+    from imitation_from_observation_tpu.sim.subproc_vec_env import SubprocVecEnv
+
+    specs = [
+        ("pusher3dof", EnvConfig(name="pusher3dof", render_frames=False, seed=i))
+        for i in range(4)
+    ]
+    vec = SubprocVecEnv(specs, n_workers=2, max_path_length=3)
+    vec.seed(7)
+    obs = vec.reset()
+    assert obs.shape[0] == 4
+    for _ in range(3):
+        obs, rewards, dones, infos = vec.step(np.zeros((4, 3)))
+    assert dones.all()
+    assert all("reward_true" in i for i in infos)
+    assert np.all(np.isfinite(obs))
+    vec.close()
