@@ -26,7 +26,9 @@ import time
 BATCH = 256  # frames per device call
 WARMUP = 3
 ITERS = 20
-CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu.json")
+CPU_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE_CPU.json"
+)
 
 
 def measure(
