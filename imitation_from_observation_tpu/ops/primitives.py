@@ -58,6 +58,63 @@ def conv2d(
     return out.astype(x.dtype)
 
 
+def _same_pad_lo(out_size: int, stride: int, k: int) -> int:
+    """Low-side padding of the *forward* SAME conv this deconv transposes."""
+    total = max((-(-out_size // stride) - 1) * stride + k - out_size, 0)
+    return total // 2
+
+
+def _deconv2d_phase(x: jax.Array, w: jax.Array, s: int) -> jax.Array:
+    """Exact strided transposed conv via output-phase decomposition.
+
+    The adjoint of a stride-s SAME conv writes output pixel ``y`` as
+    ``sum_k w[k] * x[(y + pad_lo - k) / s]`` over taps with exact division.
+    Grouping outputs by phase ``y mod s`` turns the one dilated conv (which
+    XLA:TPU executes over an s-times zero-dilated input, wasting ~s^2 of the
+    MXU work) into s*s dense stride-1 convs over ``x`` with disjoint kernel
+    tap subsets, interleaved back — identical numerics, ~s^2 fewer MACs.
+    """
+    B, H, W, IC = x.shape
+    k = w.shape[0]
+    OC = w.shape[2]
+    pad_lo_h = _same_pad_lo(H * s, s, k)
+    pad_lo_w = _same_pad_lo(W * s, s, k)
+
+    def taps(phase: int, pad_lo: int):
+        ks = [kk for kk in range(k) if (phase + pad_lo - kk) % s == 0]
+        offs = [(phase + pad_lo - kk) // s for kk in ks]
+        order = sorted(range(len(ks)), key=lambda i: offs[i])
+        ks = [ks[i] for i in order]
+        offs = [offs[i] for i in order]
+        lo = -offs[0]
+        hi = len(ks) - 1 - lo
+        return ks, (lo, hi)
+
+    phases = []
+    for py in range(s):
+        ky, pad_h = taps(py, pad_lo_h)
+        row = []
+        for px in range(s):
+            kx, pad_w = taps(px, pad_lo_w)
+            # w is [k, k, OC, IC]; the adjoint conv's HWIO kernel is
+            # w[ky, kx].transpose -> [ty, tx, IC, OC]
+            wk = w[jnp.asarray(ky)][:, jnp.asarray(kx)].transpose(0, 1, 3, 2)
+            out = lax.conv_general_dilated(
+                x,
+                wk.astype(x.dtype),
+                window_strides=(1, 1),
+                padding=(pad_h, pad_w),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            row.append(out)
+        phases.append(row)
+    # interleave: out[b, s*i+py, s*j+px, c] = phases[py][px][b, i, j, c]
+    grid = jnp.stack([jnp.stack(row) for row in phases])  # [s, s, B, H, W, OC]
+    out = grid.transpose(2, 3, 0, 4, 1, 5).reshape(B, H * s, W * s, OC)
+    return out
+
+
 def deconv2d(
     x: jax.Array,
     w: jax.Array,
@@ -72,20 +129,26 @@ def deconv2d(
     kernel layout is HWOI — height, width, *output* channels, input channels
     — the same layout TF uses ([k, k, out_c, in_c]), so converted reference
     checkpoints load unchanged.
+
+    Strided cases route through :func:`_deconv2d_phase` (exact, ~stride^2
+    fewer MACs than XLA's zero-dilated lowering on TPU).
     """
     s = (stride, stride) if isinstance(stride, int) else tuple(stride)
-    # transpose_kernel=True means the kernel is laid out for the *forward*
-    # conv being transposed, i.e. HWIO with I = this deconv's output channels
-    # — which is exactly TF's [k, k, out_c, in_c].
-    out = lax.conv_transpose(
-        x,
-        w.astype(x.dtype),
-        strides=s,
-        padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        transpose_kernel=True,
-        preferred_element_type=jnp.float32,
-    )
+    if s[0] == s[1] and s[0] > 1:
+        out = _deconv2d_phase(x, w, s[0])
+    else:
+        # transpose_kernel=True means the kernel is laid out for the *forward*
+        # conv being transposed, i.e. HWIO with I = this deconv's output
+        # channels — which is exactly TF's [k, k, out_c, in_c].
+        out = lax.conv_transpose(
+            x,
+            w.astype(x.dtype),
+            strides=s,
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True,
+            preferred_element_type=jnp.float32,
+        )
     if b is not None:
         out = out + b.astype(out.dtype)
     return out.astype(x.dtype)

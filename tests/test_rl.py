@@ -185,3 +185,55 @@ def test_trpo_rejects_bad_steps():
     after = np.asarray(pol.params["log_std"])
     if diag["dLoss"] == 0.0:  # step rejected -> params unchanged
         np.testing.assert_allclose(before, after)
+
+
+def test_categorical_policy():
+    from imitation_from_observation_tpu.rl.policies_extra import CategoricalMLPPolicy, Discrete
+
+    sp = Discrete(4)
+    assert sp.flat_dim == 4 and sp.contains(2)
+    np.testing.assert_array_equal(sp.flatten(1), [0, 1, 0, 0])
+    pol = CategoricalMLPPolicy(obs_dim=3, n_actions=4, hidden=(8,), seed=0)
+    acts, info = pol.get_actions(np.zeros((64, 3), np.float32), jax.random.key(0))
+    assert acts.shape == (64,) and set(np.unique(acts)) <= {0, 1, 2, 3}
+    np.testing.assert_allclose(info["prob"].sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_gru_policy_recurrent_state():
+    from imitation_from_observation_tpu.rl.policies_extra import GaussianGRUPolicy
+
+    pol = GaussianGRUPolicy(obs_dim=3, action_dim=2, hidden=8, seed=0)
+    pol.reset(4)
+    obs = np.random.default_rng(0).standard_normal((4, 3)).astype(np.float32)
+    _, i1 = pol.get_actions(obs, jax.random.key(0))
+    _, i2 = pol.get_actions(obs, jax.random.key(0))  # carry advanced
+    assert not np.allclose(i1["mean"], i2["mean"])  # state-dependent
+    # sequence API for the recurrent surrogate
+    seq = np.random.default_rng(1).standard_normal((2, 5, 3)).astype(np.float32)
+    info = pol.dist_info_sequence(pol.params, jnp.asarray(seq))
+    assert info["mean"].shape == (2, 5, 2)
+
+
+def test_conv_policy():
+    from imitation_from_observation_tpu.rl.policies_extra import GaussianConvPolicy
+
+    pol = GaussianConvPolicy((16, 16, 3), action_dim=3, seed=0)
+    obs = np.random.default_rng(0).random((5, 16, 16, 3)).astype(np.float32)
+    acts, info = pol.get_actions(obs, jax.random.key(0))
+    assert acts.shape == (5, 3)
+
+
+def test_gaussian_mlp_baseline_fits():
+    from imitation_from_observation_tpu.rl.nn_baseline import GaussianMLPBaseline
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for _ in range(8):
+        obs = rng.standard_normal((20, 2)).astype(np.float32)
+        returns = obs[:, 0] * 2 + 1
+        paths.append(dict(observations=obs, rewards=np.zeros(20), returns=returns))
+    bl = GaussianMLPBaseline(obs_dim=2, hidden=(16,), epochs=200, learning_rate=1e-2)
+    bl.fit(paths)
+    pred = bl.predict(paths[0])
+    corr = np.corrcoef(pred, paths[0]["returns"])[0, 1]
+    assert corr > 0.9, corr
