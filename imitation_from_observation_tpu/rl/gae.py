@@ -98,3 +98,30 @@ def process_paths(
 
     baseline.fit(paths)
     return samples | {"diagnostics": diagnostics}
+
+
+def pad_paths_recurrent(paths: list[dict[str, Any]], center_adv: bool = True) -> dict[str, Any]:
+    """Recurrent-policy sample layout (reference base.py:289-343): pad every
+    path to the max length into [B, T, ...] arrays plus a ``valids`` mask;
+    advantages are centered globally before padding."""
+    T = max(len(p["rewards"]) for p in paths)
+
+    def pad(x, t=T):
+        w = [(0, t - len(x))] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(np.asarray(x), w)
+
+    adv_cat = np.concatenate([p["advantages"] for p in paths])
+    mean, std = adv_cat.mean(), adv_cat.std() + 1e-8
+    advantages = np.stack(
+        [pad((p["advantages"] - mean) / std if center_adv else p["advantages"]) for p in paths]
+    )
+    return dict(
+        observations=np.stack([pad(p["observations"]) for p in paths]),
+        actions=np.stack([pad(p["actions"]) for p in paths]),
+        advantages=advantages,
+        valids=np.stack([pad(np.ones_like(p["rewards"])) for p in paths]),
+        agent_infos={
+            k: np.stack([pad(p["agent_infos"][k]) for p in paths])
+            for k in paths[0]["agent_infos"]
+        },
+    )

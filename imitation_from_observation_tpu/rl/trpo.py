@@ -60,25 +60,37 @@ class TRPO:
         self._update = jax.jit(self._build_update())
 
     # -- losses ------------------------------------------------------------
-    def _surr_loss_kl(self, flat_params, obs, actions, advantages, old_info):
+    def _surr_loss_kl(self, flat_params, obs, actions, advantages, old_info, valids=None):
+        """Non-recurrent: flat [N, ...] batches, plain means (npo.py:80-81).
+        Recurrent: padded [B, T, ...] with a valids mask, valid-weighted
+        means (npo.py:77-79)."""
         params = self._unravel(flat_params)
-        info = self.policy.dist_info(params, obs)
+        if getattr(self.policy, "recurrent", False):
+            info = self.policy.dist_info_sequence(params, obs)
+        else:
+            info = self.policy.dist_info(params, obs)
         lr = dg.likelihood_ratio(actions, old_info, info)
         if self.truncate_local_is_ratio is not None:
             lr = jnp.minimum(self.truncate_local_is_ratio, lr)
-        surr = -jnp.mean(lr * advantages)
-        mean_kl = jnp.mean(dg.kl(old_info, info))
+        kl = dg.kl(old_info, info)
+        if valids is not None:
+            n = jnp.sum(valids)
+            surr = -jnp.sum(lr * advantages * valids) / n
+            mean_kl = jnp.sum(kl * valids) / n
+        else:
+            surr = -jnp.mean(lr * advantages)
+            mean_kl = jnp.mean(kl)
         return surr, mean_kl
 
     def _build_update(self):
-        def loss_fn(fp, obs, actions, adv, old):
-            return self._surr_loss_kl(fp, obs, actions, adv, old)[0]
+        def loss_fn(fp, obs, actions, adv, old, valids):
+            return self._surr_loss_kl(fp, obs, actions, adv, old, valids)[0]
 
-        def kl_fn(fp, obs, actions, adv, old):
-            return self._surr_loss_kl(fp, obs, actions, adv, old)[1]
+        def kl_fn(fp, obs, actions, adv, old, valids):
+            return self._surr_loss_kl(fp, obs, actions, adv, old, valids)[1]
 
-        def update(flat_params, obs, actions, advantages, old_info):
-            args = (obs, actions, advantages, old_info)
+        def update(flat_params, obs, actions, advantages, old_info, valids):
+            args = (obs, actions, advantages, old_info, valids)
             loss_before = loss_fn(flat_params, *args)
             flat_g = jax.grad(loss_fn)(flat_params, *args)
 
@@ -167,6 +179,10 @@ class TRPO:
             "mean": jnp.asarray(samples["agent_infos"]["mean"], jnp.float32),
             "log_std": jnp.asarray(samples["agent_infos"]["log_std"], jnp.float32),
         }
-        new_flat, diag = self._update(flat_params, obs, actions, adv, old_info)
+        if "valids" in samples:
+            valids = jnp.asarray(samples["valids"], jnp.float32)
+        else:
+            valids = jnp.ones(obs.shape[0], jnp.float32)
+        new_flat, diag = self._update(flat_params, obs, actions, adv, old_info, valids)
         self.policy.params = self._unravel(new_flat)
         return {k: float(v) for k, v in diag.items()}

@@ -237,3 +237,29 @@ def test_gaussian_mlp_baseline_fits():
     pred = bl.predict(paths[0])
     corr = np.corrcoef(pred, paths[0]["returns"])[0, 1]
     assert corr > 0.9, corr
+
+
+def test_recurrent_trpo_gru():
+    """Recurrent TRPO: padded [B,T] batches + valids mask, GRU dist over
+    sequences (reference npo.py recurrent branch)."""
+    from imitation_from_observation_tpu.rl.gae import pad_paths_recurrent
+    from imitation_from_observation_tpu.rl.policies_extra import GaussianGRUPolicy
+    from imitation_from_observation_tpu.rl.sampler import rollout
+    from imitation_from_observation_tpu.core.rng import RngStream
+
+    pol = GaussianGRUPolicy(obs_dim=2, action_dim=2, hidden=8, seed=0)
+    rng = RngStream(0)
+    paths = []
+    for i in range(6):
+        pol.reset(1)
+        env = PointEnv(seed=i)
+        p = rollout(env, pol, max_path_length=8 + (i % 3), rng=rng)  # ragged lengths
+        p["returns"] = discount_cumsum(p["rewards"], 0.99)
+        p["advantages"] = p["rewards"] - p["rewards"].mean()
+        paths.append(p)
+    samples = pad_paths_recurrent(paths)
+    assert samples["observations"].shape[:2] == (6, 10)
+    assert samples["valids"].sum() == sum(len(p["rewards"]) for p in paths)
+    opt = TRPO(pol, step_size=0.05)
+    diag = opt.optimize(samples)
+    assert np.isfinite(diag["MeanKL"]) and diag["MeanKL"] <= 0.05 + 1e-3 or diag["dLoss"] == 0
