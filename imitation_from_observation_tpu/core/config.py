@@ -118,6 +118,7 @@ class RewardConfig(_Base):
     n_demos: int = 0  # 0 = all videos in demo_data
     inception_layer: str = "Mixed_7c"
     mean_file: str = ""  # expert activation means (inception mode)
+    backbone_npz: str = ""  # converted slim checkpoint for the backbone
     batch_frames: int = 25  # frames scored per path (odd steps of horizon 50)
     skip: int = 1  # demo temporal subsample (2 for sweep/real)
 

@@ -50,6 +50,8 @@ def generate_demo_videos(
 ) -> list[str]:
     """Each video gets a fresh env (new random viewpoint + context), like the
     reference's per-episode monitor loop (gen_videos.py:34-45)."""
+    import json
+
     log = get_logger()
     os.makedirs(out_dir, exist_ok=True)
     rng = RngStream(seed)
@@ -73,5 +75,19 @@ def generate_demo_videos(
         i += 1
         if i % 10 == 0:
             log.log(f"recorded {i}/{n_videos} demos (mean reward_true {np.mean(trues):.3f})")
+    # episode-stats manifest (the gym monitor's stats json,
+    # gym/monitoring/stats_recorder.py): per-episode true return + lengths
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(
+            dict(
+                task=task,
+                n_videos=len(written),
+                horizon=horizon,
+                episode_true_rewards=trues,
+                videos=[os.path.basename(p) for p in written],
+            ),
+            f,
+            indent=1,
+        )
     log.log(f"done: {len(written)} demos, mean reward_true {np.mean(trues) if trues else 0:.3f}")
     return written

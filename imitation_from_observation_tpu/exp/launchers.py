@@ -92,6 +92,14 @@ def run_visual_trpo(
         from imitation_from_observation_tpu.core.checkpoint import load_pytree
 
         policy.params = load_pytree(resume_from, policy.params)
+    if feature_fn is None and cfg.reward.mode in ("oursinception", "inception", "inceptionsame"):
+        from imitation_from_observation_tpu.reward.backbones import make_inception_feature_fn
+
+        feature_fn = make_inception_feature_fn(
+            layer=cfg.reward.inception_layer,
+            npz_path=cfg.reward.backbone_npz or None,
+            input_size=cfg.env.image_size,
+        )
     engine = VisualRewardEngine(
         cfg.reward,
         cfg.model,

@@ -14,6 +14,8 @@ from imitation_from_observation_tpu.sim.tasks import (
     Thrower,
 )
 
+from imitation_from_observation_tpu.sim.point_env import PointEnv
+
 ENV_REGISTRY = {
     "pusher3dof": Pusher3DOF,
     "reacher3dof": Reacher3DOF,
@@ -21,6 +23,7 @@ ENV_REGISTRY = {
     "striker": Striker,
     "thrower": Thrower,
     "pusher3dofreal": Pusher3DOFReal,
+    "point": PointEnv,
 }
 
 

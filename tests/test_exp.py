@@ -134,7 +134,8 @@ def test_full_pipeline_tiny(tmp_path):
     assert np.isfinite(out["history"][0]["AverageReturn"])
     # all stages left artifacts
     assert os.path.exists(tmp_path / "expert.npz")
-    assert len(os.listdir(tmp_path / "videos")) == 6
+    assert sum(f.endswith(".mp4") for f in os.listdir(tmp_path / "videos")) == 6
+    assert (tmp_path / "videos" / "stats.json").exists()
     assert os.path.exists(tmp_path / "translation" / "vdata.npy")
     assert os.path.exists(tmp_path / "rl" / "progress.csv")
 
