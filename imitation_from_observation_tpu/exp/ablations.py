@@ -70,8 +70,16 @@ def main(argv=None):
     p.add_argument("data_location")
     p.add_argument("--log-dir", default="ablation")
     p.add_argument("--n-iters", type=int, default=30_000)
+    p.add_argument("--batch-size", type=int, default=100)
     a = p.parse_args(argv)
-    run_ablation(a.experiment_type, a.ablation_type, np.load(a.data_location), a.log_dir, a.n_iters)
+    run_ablation(
+        a.experiment_type,
+        a.ablation_type,
+        np.load(a.data_location),
+        a.log_dir,
+        a.n_iters,
+        batch_size=a.batch_size,
+    )
 
 
 if __name__ == "__main__":

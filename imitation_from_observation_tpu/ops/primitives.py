@@ -15,6 +15,8 @@ via ``preferred_element_type``.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -130,11 +132,14 @@ def deconv2d(
     — the same layout TF uses ([k, k, out_c, in_c]), so converted reference
     checkpoints load unchanged.
 
-    Strided cases route through :func:`_deconv2d_phase` (exact, ~stride^2
-    fewer MACs than XLA's zero-dilated lowering on TPU).
+    With ``IFO_TPU_PHASE_DECONV=1``, strided cases route through
+    :func:`_deconv2d_phase` (exact, ~stride^2 fewer useful MACs than a
+    zero-dilated lowering). Measured on v5e the XLA lowering is already
+    on par, so the default stays with the single fused conv_transpose —
+    the flag exists for architectures where dilated convs lower poorly.
     """
     s = (stride, stride) if isinstance(stride, int) else tuple(stride)
-    if s[0] == s[1] and s[0] > 1:
+    if s[0] == s[1] and s[0] > 1 and os.environ.get("IFO_TPU_PHASE_DECONV") == "1":
         out = _deconv2d_phase(x, w, s[0])
     else:
         # transpose_kernel=True means the kernel is laid out for the *forward*

@@ -47,6 +47,7 @@ class VisualRewardEngine:
         n_viewpoints: int = 1,
         feature_fn: Callable | None = None,
         chunk_videos: int = 16,
+        mesh=None,
     ):
         """``demo_data``: held-out demos [T, N, H, W, C] in [-1, 1] (the
         trainer's vdata format / reference ``modeldata`` npy). ``feature_fn``
@@ -54,6 +55,9 @@ class VisualRewardEngine:
         self.cfg = cfg
         self.nvp = n_viewpoints
         self.chunk_videos = chunk_videos
+        # optional multi-chip serving: rollouts shard over the mesh's data
+        # axis for scoring (params replicated); None = single device
+        self.mesh = mesh
         self.means: list[np.ndarray] | None = None
         self.imgs: list[np.ndarray] | None = None
         self.feature_fn = feature_fn
@@ -207,7 +211,17 @@ class VisualRewardEngine:
             self._warmup(batch_u8[0, 0])  # first rollout's first rendered frame
         means = jnp.asarray(np.stack(self.means)[:, :T])
         mean_imgs = jnp.asarray(np.stack(self.imgs)[:, :T])
-        batch = jnp.asarray(self._frames_to_model_space(batch_u8))
+        batch = self._frames_to_model_space(batch_u8)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = self.mesh.devices.size
+            pad = (-len(batch)) % n_dev
+            if pad:
+                batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
+            batch = jax.device_put(jnp.asarray(batch), NamedSharding(self.mesh, P("data")))
+        else:
+            batch = jnp.asarray(batch)
 
         if self.cfg.ablation == "recon":
             feat = np.asarray(self._score_paths(self.params, batch, means, mean_imgs, 0.0))

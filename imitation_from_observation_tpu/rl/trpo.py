@@ -47,6 +47,8 @@ class TRPO:
         max_backtracks: int = 15,
         accept_violation: bool = False,
         truncate_local_is_ratio: float | None = None,
+        hvp_mode: str = "perlmutter",  # perlmutter | fd (FiniteDifferenceHvp)
+        fd_eps: float = 1e-5,
     ):
         self.policy = policy
         self.step_size = step_size
@@ -56,6 +58,10 @@ class TRPO:
         self.max_backtracks = max_backtracks
         self.accept_violation = accept_violation
         self.truncate_local_is_ratio = truncate_local_is_ratio
+        if hvp_mode not in ("perlmutter", "fd"):
+            raise ValueError(f"unknown hvp_mode {hvp_mode!r}")
+        self.hvp_mode = hvp_mode
+        self.fd_eps = fd_eps
         _, self._unravel = ravel_pytree(policy.params)
         self._update = jax.jit(self._build_update())
 
@@ -96,10 +102,21 @@ class TRPO:
 
             kl_grad = jax.grad(kl_fn)
 
-            def hvp(v):
-                # Perlmutter: H v = d/de grad_kl(theta + e v) |_{e=0}
-                _, hv = jax.jvp(lambda fp: kl_grad(fp, *args), (flat_params,), (v,))
-                return hv + self.reg_coeff * v
+            if self.hvp_mode == "fd":
+                # symmetric finite differences on the KL gradient (reference
+                # FiniteDifferenceHvp, conjugate_gradient_optimizer.py:58-115)
+                def hvp(v):
+                    eps = self.fd_eps / (jnp.linalg.norm(flat_params) + 1e-8)
+                    gp = kl_grad(flat_params + eps * v, *args)
+                    gm = kl_grad(flat_params - eps * v, *args)
+                    return (gp - gm) / (2 * eps) + self.reg_coeff * v
+
+            else:
+
+                def hvp(v):
+                    # Perlmutter: H v = d/de grad_kl(theta + e v) |_{e=0}
+                    _, hv = jax.jvp(lambda fp: kl_grad(fp, *args), (flat_params,), (v,))
+                    return hv + self.reg_coeff * v
 
             # conjugate gradient (krylov.cg, fixed iteration count)
             def cg_body(_, state):

@@ -22,13 +22,15 @@ from __future__ import annotations
 import os
 from typing import Any
 
+# mujoco picks its GL backend at import time — the default must be in place
+# BEFORE the import or headless rendering fails with "no OpenGL platform"
+os.environ.setdefault("MUJOCO_GL", "egl")
+
 import mujoco
 import numpy as np
 
 from imitation_from_observation_tpu.core.config import EnvConfig
 from imitation_from_observation_tpu.video.preprocess import imresize_uint8
-
-os.environ.setdefault("MUJOCO_GL", "egl")
 
 _ASSET_DIR = os.path.join(os.path.dirname(__file__), "assets")
 

@@ -75,6 +75,13 @@ class TranslationTrainer:
         # round batch up to the mesh size so shards are equal
         self.batch_size = -(-train_cfg.batch_size // n_dev) * n_dev
         self.model = build_model(model_cfg)
+        if vdata.ndim != 5:
+            raise ValueError(f"vdata must be [T, N, H, W, C], got shape {vdata.shape}")
+        if model_cfg.model != "context_feat" and tuple(vdata.shape[2:4]) != tuple(model_cfg.image_size):
+            raise ValueError(
+                f"vdata frames are {vdata.shape[2:4]} but the model is configured "
+                f"for image_size={tuple(model_cfg.image_size)}"
+            )
         self.nlen = vdata.shape[0]
 
         n_train = min(train_cfg.n_train, vdata.shape[1])

@@ -99,3 +99,15 @@ def test_lrelu_and_linear(rng):
     np.testing.assert_allclose(
         np.asarray(linear(x, w, b)), np.asarray(x) @ np.asarray(w) + np.asarray(b), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("hw,stride,k", [((24, 24), 2, 5), ((4, 4), 2, 3)])
+def test_phase_deconv_matches_conv_transpose(rng, hw, stride, k, monkeypatch):
+    """The opt-in phase-decomposed deconv path is numerically exact."""
+    monkeypatch.setenv("IFO_TPU_PHASE_DECONV", "1")
+    x = rng.standard_normal((2, *hw, 8), dtype=np.float32)
+    w = rng.standard_normal((k, k, 4, 8), dtype=np.float32) * 0.1
+    b = rng.standard_normal(4, dtype=np.float32)
+    ours = np.asarray(deconv2d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), stride=stride))
+    ref = torch_deconv2d_same(x, w, b, stride)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)

@@ -214,3 +214,22 @@ def test_inception_mode_zscore(tmp_path):
     eng.process(paths)
     r = paths[0]["rewards"]
     assert r[1] == 0.0 and all(r[2 * j + 1] <= 0 for j in range(T))
+
+
+def test_sharded_scoring_matches_single_device():
+    """Reward scoring sharded over the 8-device mesh (rollouts on the data
+    axis, padded to the mesh size) must match the unsharded result."""
+    from imitation_from_observation_tpu.parallel import make_mesh
+
+    eng_a, params, demo, model = _engine_and_params()
+    paths_a = _make_paths(n_paths=3, seed=11)
+    eng_a.process(paths_a)
+
+    eng_b = VisualRewardEngine(
+        RewardConfig(mode="ours", scale=0.7), MODEL_CFG, params=params,
+        demo_data=demo, mesh=make_mesh(),
+    )
+    paths_b = _make_paths(n_paths=3, seed=11)
+    eng_b.process(paths_b)
+    for pa, pb in zip(paths_a, paths_b):
+        np.testing.assert_allclose(pa["rewards"], pb["rewards"], rtol=1e-4, atol=1e-4)

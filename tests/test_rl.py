@@ -263,3 +263,28 @@ def test_recurrent_trpo_gru():
     opt = TRPO(pol, step_size=0.05)
     diag = opt.optimize(samples)
     assert np.isfinite(diag["MeanKL"]) and diag["MeanKL"] <= 0.05 + 1e-3 or diag["dLoss"] == 0
+
+
+def test_trpo_fd_hvp_matches_perlmutter():
+    """Finite-difference HVP gives the same descent direction family: one
+    update from identical samples moves params similarly."""
+    rng = np.random.default_rng(0)
+    samples = dict(
+        observations=rng.standard_normal((200, 2)).astype(np.float32),
+        actions=rng.standard_normal((200, 2)).astype(np.float32),
+        advantages=rng.standard_normal(200).astype(np.float32),
+        agent_infos=dict(
+            mean=np.zeros((200, 2), np.float32), log_std=np.zeros((200, 2), np.float32)
+        ),
+    )
+    outs = {}
+    for mode in ["perlmutter", "fd"]:
+        pol = GaussianMLPPolicy(obs_dim=2, action_dim=2, hidden=(8,), seed=0)
+        opt = TRPO(pol, step_size=0.01, hvp_mode=mode)
+        opt.optimize(dict(samples))
+        from jax.flatten_util import ravel_pytree
+
+        outs[mode], _ = ravel_pytree(pol.params)
+    a, b = (np.asarray(outs[m]) for m in ["perlmutter", "fd"])
+    assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
+    np.testing.assert_allclose(a, b, rtol=0.2, atol=5e-3)  # same direction, fd noise
