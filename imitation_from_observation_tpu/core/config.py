@@ -70,6 +70,10 @@ class TrainConfig(_Base):
     video_len: int = 50  # frames per demo after dropping frame 0
     n_skip: int = 1  # temporal subsample (2 for sweep/real)
     rescale: bool = True  # [-1, 1] float frames (False feeds uint8 to inception)
+    # keep the full video tensor device-resident and gather (src, tgt) pairs
+    # on-device per step — no per-iteration host->HBM batch transfer (the
+    # reference fed every batch through a feed_dict, train_script.py:163)
+    on_device_data: bool = True
     seed: int = 0
     data_axis: str = "data"  # mesh axis for data parallelism
     checkpoint_dir: str = "checkpoints"

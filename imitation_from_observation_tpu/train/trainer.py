@@ -95,6 +95,13 @@ class TranslationTrainer:
         self.state = self._init_state()
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+        if train_cfg.on_device_data:
+            # device-resident dataset (replicated); batches are gathered and
+            # resharded onto the data axis inside the jitted step
+            self._train_data_dev = jax.device_put(
+                jnp.asarray(self.train_data), replicated(self.mesh)
+            )
+            self._train_step_dev = self._build_train_step_dev()
         self.valid_losses: list[float] = []
 
     # -- setup -------------------------------------------------------------
@@ -132,6 +139,32 @@ class TranslationTrainer:
 
         return train_step
 
+    def _build_train_step_dev(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = NamedSharding(self.mesh, P(self.cfg.data_axis))
+        n_train = self.train_data.shape[1]
+        B, nlen = self.batch_size, self.nlen
+        frame_idx = jnp.arange(B) % nlen
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, data):
+            key = jax.random.fold_in(jax.random.key(self.cfg.seed + 2), state.step)
+            k_src, k_tgt, k_drop = jax.random.split(key, 3)
+            cs = jax.random.randint(k_src, (B,), 0, n_train)
+            ct = jax.random.randint(k_tgt, (B,), 0, n_train)
+            src = jax.lax.with_sharding_constraint(data[frame_idx, cs], batch_sh)
+            tgt = jax.lax.with_sharding_constraint(data[frame_idx, ct], batch_sh)
+            ctx = jax.lax.with_sharding_constraint(data[0, ct], batch_sh)
+            (loss, metrics), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+                state.params, src, ctx, tgt, k_drop
+            )
+            updates, opt_state = self.tx.update(grads, state.opt_state)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), metrics
+
+        return train_step
+
     def _build_eval_step(self):
         @jax.jit
         def eval_step(params, src, ctx, tgt):
@@ -151,8 +184,11 @@ class TranslationTrainer:
         n_iters = n_iters if n_iters is not None else cfg.n_iters
         t0 = time.perf_counter()
         for itr in range(1, n_iters + 1):
-            src, ctx, tgt = self._device_batch(self.train_sampler.sample())
-            self.state, metrics = self._train_step(self.state, src, ctx, tgt)
+            if cfg.on_device_data:
+                self.state, metrics = self._train_step_dev(self.state, self._train_data_dev)
+            else:
+                src, ctx, tgt = self._device_batch(self.train_sampler.sample())
+                self.state, metrics = self._train_step(self.state, src, ctx, tgt)
             if itr % cfg.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 self.log.log(

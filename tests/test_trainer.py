@@ -67,3 +67,16 @@ def test_trainer_dropout_model(tmp_path):
     tr = TranslationTrainer(model_cfg, cfg, vdata, log_dir=str(tmp_path))
     tr.train()
     assert int(tr.state.step) == 4
+
+
+def test_trainer_host_batching_path(tmp_path):
+    """The legacy host-side batch path (on_device_data=False) still works."""
+    vdata = _synthetic_vdata(T=4, N=6, hw=16)
+    model_cfg = TranslationModelConfig(
+        model="context_skip", image_size=(16, 16), base_filters=8, feat_size=32
+    )
+    cfg = TrainConfig(batch_size=8, n_train=4, n_iters=6, eval_every=6, save_every=100,
+                      log_every=100, on_device_data=False, learning_rate=1e-3)
+    tr = TranslationTrainer(model_cfg, cfg, vdata, log_dir=str(tmp_path))
+    tr.train()
+    assert int(tr.state.step) == 6
