@@ -161,6 +161,9 @@ def run_pipeline(
         max_path_length=cfg.env.horizon,
         n_iters=expert_iters,
         n_envs=20,
+        # the expert learns from the DENSE task reward: moderate exploration
+        # (init_std=10 is the sparse visual-RL setting, run_trpo_push.py:144)
+        init_std=1.0,
         seed=seed,
         snapshot_mode="none",
     )
