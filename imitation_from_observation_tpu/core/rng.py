@@ -14,13 +14,25 @@ import numpy as np
 
 
 class RngStream:
-    """A splittable key stream: ``stream.next()`` never reuses a key."""
+    """A splittable key stream: ``stream.next()`` never reuses a key.
 
-    def __init__(self, seed_or_key):
+    The key is pinned to the host CPU backend by default: stream consumers
+    (rollout sampling) call ``next()`` every env step, and on a remote-TPU
+    default backend each ``jax.random.split`` would otherwise be a full
+    network round trip. Pass ``host=False`` to keep keys on the default
+    device."""
+
+    def __init__(self, seed_or_key, host: bool = True):
         if isinstance(seed_or_key, int):
-            self._key = jax.random.key(seed_or_key)
+            key = jax.random.key(seed_or_key)
         else:
-            self._key = seed_or_key
+            key = seed_or_key
+        if host and jax.default_backend() != "cpu":
+            try:
+                key = jax.device_put(key, jax.local_devices(backend="cpu")[0])
+            except RuntimeError:
+                pass
+        self._key = key
 
     def next(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
