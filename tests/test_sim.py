@@ -137,3 +137,47 @@ def test_subproc_vec_env():
     assert all("reward_true" in i for i in infos)
     assert np.all(np.isfinite(obs))
     vec.close()
+
+
+def test_native_batch_sim_matches_python():
+    """The C++ batched stepper must reproduce python-mujoco stepping exactly
+    (same model, state, ctrl sequence)."""
+    import os
+
+    import mujoco
+    pytest.importorskip("ctypes")
+    xml = os.path.join(os.path.dirname(__file__), "..",
+                       "imitation_from_observation_tpu", "sim", "assets", "pusher3dof.xml")
+    xml = os.path.abspath(xml)
+    try:
+        from imitation_from_observation_tpu.sim.native.mjbatch_binding import NativeBatchSim
+
+        sim = NativeBatchSim(xml, n=3)
+    except Exception as e:
+        pytest.skip(f"native stepper unavailable: {e}")
+    # python reference sim
+    m = mujoco.MjModel.from_xml_path(xml)
+    d = mujoco.MjData(m)
+    assert (sim.nq, sim.nv, sim.nu) == (m.nq, m.nv, m.nu)
+    rng = np.random.default_rng(0)
+    qpos0 = rng.uniform(-0.05, 0.05, (3, m.nq))
+    qvel0 = np.zeros((3, m.nv))
+    sim.set_state(qpos0, qvel0)
+    ctrls = rng.uniform(-1, 1, (4, 3, m.nu))
+    for c in ctrls:
+        sim.step(c, n_substeps=5)
+    qpos_n, qvel_n = sim.get_state()
+    # replicate env 1 in python
+    d.qpos[:] = qpos0[1]
+    d.qvel[:] = qvel0[1]
+    mujoco.mj_forward(m, d)
+    for c in ctrls:
+        d.ctrl[:] = c[1]
+        for _ in range(5):
+            mujoco.mj_step(m, d)
+    np.testing.assert_allclose(qpos_n[1], d.qpos, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(qvel_n[1], d.qvel, rtol=1e-10, atol=1e-12)
+    # subtree_com agrees
+    bid = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_BODY, "object")
+    np.testing.assert_allclose(sim.subtree_com(bid)[1], d.subtree_com[bid], atol=1e-10)
+    sim.close()
