@@ -48,6 +48,28 @@ def make_inception_feature_fn(
     return feature_fn
 
 
+def compute_expert_feature_stats(
+    env, expert_policy, feature_fn, n_rollouts: int = 20, max_path_length: int = 50, seed: int = 0
+):
+    """Expert backbone-activation statistics for the ``inceptionsame`` mode
+    (base.py:93-111): roll the expert out ``n_rollouts`` times, extract the
+    per-frame activations of the rendered frames, return (mean, std) over
+    rollouts, each [T, ...feature dims]."""
+    import numpy as np
+
+    from imitation_from_observation_tpu.core.rng import RngStream
+    from imitation_from_observation_tpu.rl.sampler import rollout
+
+    rng = RngStream(seed)
+    all_feats = []
+    for _ in range(n_rollouts):
+        path = rollout(env, expert_policy, max_path_length, rng)
+        frames = np.stack([f[0] for f in path["env_infos"]["frames"] if f is not None])
+        all_feats.append(np.asarray(feature_fn(frames)))
+    stacked = np.stack(all_feats)  # [R, T, ...]
+    return stacked.mean(axis=0), stacked.std(axis=0)
+
+
 def classify_sanity_check(params, image_u8, top_k: int = 20):
     """The reference's startup sanity check: classify an image and report the
     top logits (the 'bird.jpg' check at base.py:86-89)."""

@@ -241,6 +241,14 @@ class VisualRewardEngine:
                 p["rewards"][j * 2 + 1] -= cost[j] * (j**2)
         return paths
 
+    def set_expert_stats(self, means: np.ndarray, std: np.ndarray) -> None:
+        """Provide backbone-activation statistics directly (the
+        ``inceptionsame`` path, base.py:93-111: means/std computed from fresh
+        expert rollouts instead of a mean file). Use
+        :func:`compute_expert_feature_stats` to build them."""
+        self.feat_means = np.asarray(means)
+        self.feat_std = np.asarray(std)
+
     def _process_inception(self, paths):
         """z-scored squared error of backbone activations vs expert means
         (base.py:179-189)."""

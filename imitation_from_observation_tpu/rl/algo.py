@@ -31,6 +31,7 @@ class BatchPolopt:
         reward_engine=None,  # optional: splices visual rewards into paths
         log_dir: str | None = None,
         logger: Logger | None = None,
+        record_video_every: int = 0,  # gym-monitor-style eval recordings
     ):
         self.vec_env = vec_env
         self.policy = policy
@@ -45,6 +46,8 @@ class BatchPolopt:
         self.sampler = VectorizedSampler(
             vec_env, policy, config.batch_size, config.max_path_length, seed=config.seed
         )
+        self.record_video_every = record_video_every
+        self._video_dir = (log_dir or "data") + "/videos"
 
     def train(self, n_iters: int | None = None) -> list[dict[str, float]]:
         history = []
@@ -67,6 +70,8 @@ class BatchPolopt:
                 with self.log.timed("Optimize"):
                     opt_diag = self.optimizer.optimize(samples)
                 self.snapshots.save(itr, self.policy.params, meta={"itr": itr})
+                if self.record_video_every and itr % self.record_video_every == 0:
+                    self._record_eval_video(itr)
                 row = dict(Iteration=itr)
                 row.update(samples["diagnostics"])
                 row.update(opt_diag)
@@ -75,3 +80,18 @@ class BatchPolopt:
                     self.log.record_tabular(k, v)
                 history.append(self.log.dump_tabular())
         return history
+
+    def _record_eval_video(self, itr: int) -> None:
+        """Record one evaluation rollout as mp4 (the gym monitor's periodic
+        video schedule, gym/monitoring/monitor.py capability)."""
+        from imitation_from_observation_tpu.exp.gen_videos import record_rollout
+        from imitation_from_observation_tpu.video.io import write_mp4
+
+        env = self.vec_env.envs[0]
+        frames, total_true = record_rollout(
+            env, self.policy, self.cfg.max_path_length, self.sampler.rng
+        )
+        import os
+
+        write_mp4(os.path.join(self._video_dir, f"itr_{itr:05d}.mp4"), frames)
+        self.log.log(f"recorded eval video itr {itr} (reward_true {total_true:.3f})")

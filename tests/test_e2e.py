@@ -88,3 +88,51 @@ def test_ours_mode_trpo_smoke(tmp_path):
     assert history[0]["AverageReturn"] < 0
     assert engine.means is not None  # warmup ran
     vec.close()
+
+
+def test_rl_video_recording(tmp_path):
+    """record_video_every writes mp4 eval rollouts during RL (the gym
+    monitor's video schedule capability)."""
+    horizon = 4
+    vec = _vec("pusher3dof", 2, horizon, render_frames=False, render_size=(64, 64))
+    policy = GaussianMLPPolicy(obs_dim=vec.observation_space.flat_dim, action_dim=3, init_std=1.0)
+    algo = BatchPolopt(
+        vec, policy, LinearFeatureBaseline(), TRPO(policy),
+        RLConfig(batch_size=8, max_path_length=horizon, n_iters=2, snapshot_mode="none"),
+        reward_engine=VisualRewardEngine(RewardConfig(mode="oracle")),
+        log_dir=str(tmp_path), record_video_every=2,
+    )
+    algo.train()
+    import os
+    vids = os.listdir(tmp_path / "videos")
+    assert "itr_00000.mp4" in vids
+    vec.close()
+
+
+def test_inceptionsame_expert_stats(tmp_path):
+    """inceptionsame: expert activation stats computed from rollouts
+    (base.py:93-111) feed the z-scored reward."""
+    import jax.numpy as jnp
+
+    from imitation_from_observation_tpu.reward.backbones import compute_expert_feature_stats
+
+    hw, horizon = 16, 6
+
+    def feature_fn(frames_u8):
+        x = np.asarray(frames_u8, np.float32) / 255.0
+        return x.mean(axis=(1, 2))  # [T, 3] tiny "features"
+
+    env = NormalizedEnv(make_env("pusher3dof", EnvConfig(
+        name="pusher3dof", horizon=horizon, image_size=(hw, hw), render_size=(64, 64), seed=0)))
+    expert = GaussianMLPPolicy(obs_dim=env.observation_space.flat_dim, action_dim=3, init_std=1.0)
+    means, std = compute_expert_feature_stats(env, expert, feature_fn, n_rollouts=2, max_path_length=horizon)
+    assert means.shape == (horizon // 2, 3)
+    engine = VisualRewardEngine(RewardConfig(mode="inceptionsame"), feature_fn=feature_fn)
+    engine.set_expert_stats(means, std)
+    from imitation_from_observation_tpu.rl.sampler import rollout
+    from imitation_from_observation_tpu.core.rng import RngStream
+
+    path = rollout(env, expert, horizon, RngStream(1))
+    engine.process([path])
+    assert np.any(path["rewards"] != 0)
+    env.close()
