@@ -201,7 +201,12 @@ class VisualRewardEngine:
         # -- ours / oursinception ------------------------------------------
         frame_stacks, frame_counts = [], []
         for p in paths:
-            frames = [f for f in p["env_infos"]["frames"] if f is not None]
+            frames = [f for f in p["env_infos"].get("frames", []) if f is not None]
+            if not frames:
+                raise ValueError(
+                    f"reward mode {mode!r} needs rendered frames in "
+                    "env_infos['frames'] — configure the env with render_frames=True"
+                )
             frame_stacks.append(np.stack(frames))  # [T, V, H, W, C]
             frame_counts.append(len(frames))
         T = min(frame_counts)
