@@ -74,6 +74,10 @@ class TrainConfig(_Base):
     # on-device per step — no per-iteration host->HBM batch transfer (the
     # reference fed every batch through a feed_dict, train_script.py:163)
     on_device_data: bool = True
+    # fuse K optimizer steps into one device call (lax.scan) — amortizes
+    # host dispatch latency; requires on_device_data. log/eval cadence is
+    # rounded to multiples of this.
+    steps_per_call: int = 1
     seed: int = 0
     data_axis: str = "data"  # mesh axis for data parallelism
     checkpoint_dir: str = "checkpoints"

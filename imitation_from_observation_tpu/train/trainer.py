@@ -146,9 +146,9 @@ class TranslationTrainer:
         n_train = self.train_data.shape[1]
         B, nlen = self.batch_size, self.nlen
         frame_idx = jnp.arange(B) % nlen
+        K = max(1, self.cfg.steps_per_call)
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def train_step(state: TrainState, data):
+        def one_step(state: TrainState, data):
             key = jax.random.fold_in(jax.random.key(self.cfg.seed + 2), state.step)
             k_src, k_tgt, k_drop = jax.random.split(key, 3)
             cs = jax.random.randint(k_src, (B,), 0, n_train)
@@ -163,7 +163,13 @@ class TranslationTrainer:
             params = optax.apply_updates(state.params, updates)
             return TrainState(params, opt_state, state.step + 1), metrics
 
-        return train_step
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_steps(state: TrainState, data):
+            # K fused optimizer steps; report the last step's metrics
+            state, ms = jax.lax.scan(lambda s, _: one_step(s, data), state, None, length=K)
+            return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+        return train_steps
 
     def _build_eval_step(self):
         @jax.jit
@@ -183,7 +189,8 @@ class TranslationTrainer:
         cfg = self.cfg
         n_iters = n_iters if n_iters is not None else cfg.n_iters
         t0 = time.perf_counter()
-        for itr in range(1, n_iters + 1):
+        K = max(1, cfg.steps_per_call) if cfg.on_device_data else 1
+        for itr in range(K, n_iters + 1, K):
             if cfg.on_device_data:
                 self.state, metrics = self._train_step_dev(self.state, self._train_data_dev)
             else:

@@ -80,3 +80,16 @@ def test_trainer_host_batching_path(tmp_path):
     tr = TranslationTrainer(model_cfg, cfg, vdata, log_dir=str(tmp_path))
     tr.train()
     assert int(tr.state.step) == 6
+
+
+def test_trainer_fused_steps(tmp_path):
+    """steps_per_call fuses K optimizer steps into one scan'd device call."""
+    vdata = _synthetic_vdata(T=4, N=6, hw=16)
+    model_cfg = TranslationModelConfig(
+        model="context_skip", image_size=(16, 16), base_filters=8, feat_size=32
+    )
+    cfg = TrainConfig(batch_size=8, n_train=4, n_iters=9, steps_per_call=3,
+                      eval_every=9, save_every=1000, log_every=3, learning_rate=1e-3)
+    tr = TranslationTrainer(model_cfg, cfg, vdata, log_dir=str(tmp_path))
+    tr.train()
+    assert int(tr.state.step) == 9
