@@ -111,6 +111,15 @@ class GaussianGRUPolicy:
     def reset(self, n_envs: int = 1):
         self._carry = jnp.zeros((n_envs, self.hidden))
 
+    def reset_where(self, dones: np.ndarray) -> None:
+        """Zero the hidden state of envs that just restarted (called by the
+        vectorized sampler on auto-reset, reference gaussian_gru_policy's
+        per-env reset semantics)."""
+        if self._carry is None:
+            return
+        mask = jnp.asarray(~np.asarray(dones, bool), jnp.float32)[:, None]
+        self._carry = self._carry * mask
+
     def _step_impl(self, params, carry, obs, key):
         carry, mean = self.net.apply(params["net"], carry, obs)
         log_std = jnp.broadcast_to(params["log_std"], mean.shape)

@@ -99,6 +99,8 @@ class VectorizedSampler:
                     running[i] = dict(
                         observations=[], actions=[], rewards=[], env_infos=[], agent_infos=[]
                     )
+            if np.any(dones) and hasattr(self.policy, "reset_where"):
+                self.policy.reset_where(dones)  # recurrent state of restarted envs
             obs = next_obs
         return paths, dict(PolicyExecTime=policy_time, EnvExecTime=env_time)
 

@@ -288,3 +288,18 @@ def test_trpo_fd_hvp_matches_perlmutter():
     a, b = (np.asarray(outs[m]) for m in ["perlmutter", "fd"])
     assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
     np.testing.assert_allclose(a, b, rtol=0.2, atol=5e-3)  # same direction, fd noise
+
+
+def test_gru_policy_reset_where():
+    from imitation_from_observation_tpu.rl.policies_extra import GaussianGRUPolicy
+
+    pol = GaussianGRUPolicy(obs_dim=2, action_dim=2, hidden=4, seed=0)
+    pol.reset(3)
+    obs = np.ones((3, 2), np.float32)
+    pol.get_actions(obs, jax.random.key(0))
+    carry_before = np.asarray(pol._carry)
+    pol.reset_where(np.array([True, False, True]))
+    carry_after = np.asarray(pol._carry)
+    np.testing.assert_allclose(carry_after[0], 0)
+    np.testing.assert_allclose(carry_after[2], 0)
+    np.testing.assert_allclose(carry_after[1], carry_before[1])
