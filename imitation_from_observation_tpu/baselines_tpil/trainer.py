@@ -41,6 +41,26 @@ def velocity_pairs(frames: np.ndarray, offset: int = 3) -> tuple[np.ndarray, np.
     return frames, frames[idx]
 
 
+class RandomPolicy:
+    """Uniform-random policy (the reference's expert-fail default,
+    sandbox/bradly/third_person/policy/random_policy.py)."""
+
+    recurrent = False
+
+    def __init__(self, action_dim: int, low: float = -1.0, high: float = 1.0, seed: int = 0):
+        self.action_dim = action_dim
+        self.low, self.high = low, high
+        self.rng = np.random.default_rng(seed)
+
+    def get_action(self, obs, key=None):
+        a = self.rng.uniform(self.low, self.high, self.action_dim)
+        return a, {}
+
+    def get_actions(self, obs, key=None):
+        a = self.rng.uniform(self.low, self.high, (len(obs), self.action_dim))
+        return a, {}
+
+
 class TpilTrainer:
     def __init__(
         self,

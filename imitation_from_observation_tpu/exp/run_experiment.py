@@ -76,6 +76,10 @@ def main(argv=None):
     p.add_argument("--rl-iters", type=int, default=10)
     p.add_argument("--translation-iters", type=int, default=2000)
     p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument(
+        "--resume-from",
+        help="policy checkpoint to restore before training (scripts/resume_training.py capability)",
+    )
     args = p.parse_args(argv)
     if args.spec:
         with open(args.spec) as f:
@@ -83,19 +87,18 @@ def main(argv=None):
     else:
         if not args.launcher:
             p.error("need --spec or --launcher")
-        spec = dict(
-            launcher=args.launcher,
+        kwargs = dict(
+            task=args.task,
             log_dir=args.log_dir,
-            kwargs=dict(
-                task=args.task,
-                log_dir=args.log_dir,
-                seed=args.seed,
-                n_demos=args.n_demos,
-                rl_iters=args.rl_iters,
-                translation_iters=args.translation_iters,
-                scale=args.scale,
-            ),
+            seed=args.seed,
+            n_demos=args.n_demos,
+            rl_iters=args.rl_iters,
+            translation_iters=args.translation_iters,
+            scale=args.scale,
         )
+        if args.resume_from:
+            kwargs["resume_from"] = args.resume_from
+        spec = dict(launcher=args.launcher, log_dir=args.log_dir, kwargs=kwargs)
     run_spec(spec)
 
 
