@@ -175,3 +175,34 @@ def test_loss_ablation_combos():
     np.testing.assert_allclose(losses["L2"], r1 + r2, rtol=1e-5)
     np.testing.assert_allclose(losses["L2L3"], r1, rtol=1e-5)
     np.testing.assert_allclose(losses["L1"], r2 + sim, rtol=1e-5)
+
+
+def test_run_visual_trpo_resume(tmp_path):
+    """resume_from restores policy params into a fresh launcher run
+    (scripts/resume_training.py capability)."""
+    import jax
+    import jax.numpy as jnp
+
+    from imitation_from_observation_tpu.core.checkpoint import save_pytree
+    from imitation_from_observation_tpu.core.config import (
+        ExperimentConfig, RewardConfig, TranslationModelConfig,
+    )
+    from imitation_from_observation_tpu.exp.launchers import run_visual_trpo
+    from imitation_from_observation_tpu.rl import GaussianMLPPolicy
+
+    hw, horizon = 16, 4
+    donor = GaussianMLPPolicy(obs_dim=6, action_dim=3, hidden=(32, 32), init_std=1.0, seed=7)
+    ck = str(tmp_path / "donor")
+    save_pytree(ck, donor.params)
+    cfg = ExperimentConfig(
+        name="resume_test",
+        log_dir=str(tmp_path),
+        env=EnvConfig(name="pusher3dof", image_size=(hw, hw), render_size=(64, 64), horizon=horizon),
+        rl=RLConfig(batch_size=8, max_path_length=horizon, n_envs=2, n_iters=0, snapshot_mode="none"),
+        reward=RewardConfig(mode="oracle"),
+    )
+    policy, history = run_visual_trpo(cfg, resume_from=ck)
+    np.testing.assert_allclose(
+        np.asarray(policy.params["log_std"]), np.asarray(donor.params["log_std"])
+    )
+    assert history == []
