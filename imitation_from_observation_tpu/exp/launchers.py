@@ -15,7 +15,6 @@ Replaces the reference's ``sandbox/andrew/run_trpo_*.py`` +
 
 from __future__ import annotations
 
-import glob as globlib
 import os
 
 import numpy as np
@@ -29,7 +28,6 @@ from imitation_from_observation_tpu.core.config import (
     TranslationModelConfig,
     preset,
 )
-from imitation_from_observation_tpu.core.log import Logger
 from imitation_from_observation_tpu.reward import VisualRewardEngine
 from imitation_from_observation_tpu.rl import (
     BatchPolopt,

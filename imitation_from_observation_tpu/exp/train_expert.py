@@ -11,7 +11,6 @@ import os
 
 from imitation_from_observation_tpu.core.checkpoint import save_pytree
 from imitation_from_observation_tpu.core.config import EnvConfig, RLConfig
-from imitation_from_observation_tpu.core.log import Logger
 from imitation_from_observation_tpu.rl import (
     BatchPolopt,
     GaussianMLPPolicy,

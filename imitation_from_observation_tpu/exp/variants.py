@@ -9,7 +9,6 @@ dict (the launchers' hyperparameter sweeps, e.g. run_trpo_push.py's
 
 from __future__ import annotations
 
-import itertools
 from typing import Any, Callable, Iterable
 
 

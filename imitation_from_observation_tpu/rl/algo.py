@@ -9,10 +9,6 @@ between sampling and GAE exactly like ``BaseSampler.process_samples``
 
 from __future__ import annotations
 
-from typing import Any, Callable
-
-import numpy as np
-
 from imitation_from_observation_tpu.core.checkpoint import SnapshotManager
 from imitation_from_observation_tpu.core.config import RLConfig
 from imitation_from_observation_tpu.core.log import Logger, get_logger

@@ -4,8 +4,6 @@ exploration noise, jitted actor/critic updates."""
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -11,14 +11,11 @@
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from imitation_from_observation_tpu.rl import distributions as dg
 
 
 class Discrete:

@@ -15,7 +15,6 @@ from __future__ import annotations
 import time
 from typing import Any
 
-import jax
 import numpy as np
 
 from imitation_from_observation_tpu.core.rng import RngStream

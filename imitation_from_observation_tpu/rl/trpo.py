@@ -24,7 +24,6 @@ host-device ping-pong per CG iteration like the reference's per-call
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax

@@ -9,7 +9,6 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import optax
-from jax.flatten_util import ravel_pytree
 
 from imitation_from_observation_tpu.rl import distributions as dg
 from imitation_from_observation_tpu.rl.policy import GaussianMLPPolicy

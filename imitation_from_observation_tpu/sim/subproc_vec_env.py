@@ -13,8 +13,6 @@ design constraint the reference solved with CUDA_VISIBLE_DEVICES pinning.
 from __future__ import annotations
 
 import multiprocessing as mp
-from typing import Any
-
 import numpy as np
 
 from imitation_from_observation_tpu.core.config import EnvConfig
