@@ -33,8 +33,10 @@ def _run_batch_algo(optimizer_fn, n_iters=3, **kw):
     vec = _VecPoint(8, seed=0)
     pol = GaussianMLPPolicy(obs_dim=2, action_dim=2, hidden=(16,), init_std=1.0, seed=0)
     opt = optimizer_fn(pol, **kw)
+    import tempfile
+
     cfg = RLConfig(batch_size=320, max_path_length=20, n_iters=n_iters, snapshot_mode="none")
-    algo = BatchPolopt(vec, pol, LinearFeatureBaseline(), opt, cfg)
+    algo = BatchPolopt(vec, pol, LinearFeatureBaseline(), opt, cfg, log_dir=tempfile.mkdtemp())
     history = algo.train()
     _no_nan(pol.params)
     return history

@@ -49,9 +49,12 @@ def test_native_reacher_trpo_learns():
     cfg = EnvConfig(name="reacher3dof", horizon=20, render_frames=False, dense_reward=True, seed=0)
     vec = NativeReacherVec(10, cfg, max_path_length=20)
     pol = GaussianMLPPolicy(obs_dim=vec.observation_space.flat_dim, action_dim=3, hidden=(16,), init_std=1.0)
+    import tempfile
+
     algo = BatchPolopt(
         vec, pol, LinearFeatureBaseline(), TRPO(pol, step_size=0.1),
         RLConfig(batch_size=600, max_path_length=20, n_iters=12, snapshot_mode="none"),
+        log_dir=tempfile.mkdtemp(),
     )
     h = algo.train()
     first = np.mean([r["AverageReturn"] for r in h[:3]])

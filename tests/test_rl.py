@@ -144,11 +144,13 @@ def test_truncate_paths():
 
 
 def _train(algo_cls, n_iters, **kw):
+    import tempfile
+
     vec = _VecPoint(10, seed=0)
     pol = GaussianMLPPolicy(obs_dim=2, action_dim=2, hidden=(16,), init_std=1.0, seed=0)
     opt = algo_cls(pol, **kw)
     cfg = RLConfig(batch_size=400, max_path_length=20, n_iters=n_iters, discount=0.99, snapshot_mode="none")
-    algo = BatchPolopt(vec, pol, LinearFeatureBaseline(), opt, cfg)
+    algo = BatchPolopt(vec, pol, LinearFeatureBaseline(), opt, cfg, log_dir=tempfile.mkdtemp())
     return algo.train()
 
 
