@@ -98,6 +98,10 @@ def run_visual_trpo(
             npz_path=cfg.reward.backbone_npz or None,
             input_size=cfg.env.image_size,
         )
+    import jax
+
+    from imitation_from_observation_tpu.parallel import make_mesh
+
     engine = VisualRewardEngine(
         cfg.reward,
         cfg.model,
@@ -105,6 +109,8 @@ def run_visual_trpo(
         demo_data=demo_data,
         n_viewpoints=cfg.env.n_viewpoints,
         feature_fn=feature_fn,
+        # shard rollout scoring over all chips when a multi-device mesh exists
+        mesh=make_mesh() if len(jax.devices()) > 1 else None,
     )
     baseline = LinearFeatureBaseline() if cfg.rl.baseline == "linear" else ZeroBaseline()
     algo = BatchPolopt(
