@@ -107,6 +107,12 @@ class EnvConfig(_Base):
     bgcolor: tuple[float, ...] | None = None
     armcolor: tuple[float, ...] | None = None
     render_frames: bool = True  # render odd-step frames into info
+    # "fast" disables shadows/reflections/MSAA in the offscreen renderer —
+    # on this image GL is software (llvmpipe, one core) where the shadow
+    # pass alone is ~80 ms/frame vs ~2-6 ms without; measured identical
+    # scene content (geoms/colors/camera) either way. "full" keeps MuJoCo
+    # defaults (closest to the reference's GLFW viewer output).
+    render_quality: str = "fast"  # fast | full
     # emit the task's shaped distance reward instead of 0 — used to train
     # oracle experts for demo generation (the visual-imitation loop always
     # runs with 0 native reward, like the reference envs)

@@ -78,6 +78,12 @@ class MujocoTask:
         self.rng = np.random.default_rng(self.config.seed)
         self.itr = 0
         self._renderer: mujoco.Renderer | None = None
+        self._fast_render = self.config.render_quality == "fast"
+        if self._fast_render:
+            # software-GL speed: no MSAA resolve, no shadowmap allocation
+            # (the shadow pass costs ~80 ms/frame on llvmpipe; see EnvConfig)
+            self.model.vis.quality.offsamples = 0
+            self.model.vis.quality.shadowsize = 0
         # per-instance random azimuth, fixed for the env's lifetime, like the
         # reference's one-shot viewer_setup (pusher3dof.py:48-51)
         self._random_azimuths = self.rng.uniform(0.0, 360.0, size=max(1, self.config.n_viewpoints))
@@ -195,6 +201,9 @@ class MujocoTask:
         cam.azimuth = az
         cam.type = mujoco.mjtCamera.mjCAMERA_FREE
         renderer.update_scene(self.data, camera=cam)
+        if self._fast_render:
+            renderer.scene.flags[mujoco.mjtRndFlag.mjRND_SHADOW] = 0
+            renderer.scene.flags[mujoco.mjtRndFlag.mjRND_REFLECTION] = 0
         img = renderer.render()
         # black-frame retry (reference mujoco_env.py:117-122)
         retries = 0
