@@ -198,9 +198,13 @@ TASK_PRESETS: dict[str, dict[str, Any]] = {
 
 def preset(task: str) -> ExperimentConfig:
     p = TASK_PRESETS[task]
+    # 128^2 offscreen render keeps >=2x supersampling for every <=64^2 task
+    # while costing ~2 ms/frame on software GL (vs ~6 ms at the reference's
+    # 500^2 viewer size); the 299^2 inception config keeps the large render.
+    render_size = (128, 128) if max(p["image_size"]) <= 64 else (500, 500)
     return ExperimentConfig(
         name=task,
-        env=EnvConfig(name=p["env"], image_size=p["image_size"]),
+        env=EnvConfig(name=p["env"], image_size=p["image_size"], render_size=render_size),
         reward=RewardConfig(skip=p["skip"]),
         model=TranslationModelConfig(model=p["model"], image_size=p["image_size"]),
     )

@@ -36,7 +36,7 @@ from imitation_from_observation_tpu.rl import (
     TRPO,
     ZeroBaseline,
 )
-from imitation_from_observation_tpu.sim import NormalizedEnv, VecEnv, make_env
+from imitation_from_observation_tpu.sim import NormalizedEnv, make_env, make_vec_env
 from imitation_from_observation_tpu.train import TranslationTrainer
 from imitation_from_observation_tpu.video.dataset import build_video_dataset
 
@@ -66,7 +66,11 @@ def _vec_env(cfg: ExperimentConfig, render: bool):
     def mk(i):
         return lambda: NormalizedEnv(make_env(cfg.env.name, env_kw.replace(seed=cfg.rl.seed + i)))
 
-    return VecEnv([mk(i) for i in range(cfg.rl.n_envs)], max_path_length=cfg.rl.max_path_length)
+    return make_vec_env(
+        [mk(i) for i in range(cfg.rl.n_envs)],
+        max_path_length=cfg.rl.max_path_length,
+        render_frames=render,
+    )
 
 
 def run_visual_trpo(

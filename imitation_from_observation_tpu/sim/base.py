@@ -191,7 +191,15 @@ class MujocoTask:
 
     def render(self, vp: int = 0, size: tuple[int, int] | None = None) -> np.ndarray:
         """Offscreen rgb render -> uint8 [H, W, 3], resized like the
-        reference's render + imresize hop (pusher3dof.py:38-40)."""
+        reference's render + imresize hop (pusher3dof.py:38-40).
+
+        Normalized reference quirk (SURVEY §7 stance): the reference rendered
+        straight after ``do_simulation`` with kinematics one substep stale
+        (mjviewer drew whatever xpos mj_step left behind). Here derived
+        quantities are refreshed first so frames show the true current qpos —
+        and so the python and native-batched renderers are bit-identical.
+        """
+        mujoco.mj_forward(self.model, self.data)
         renderer = self._get_renderer()
         cam = mujoco.MjvCamera()
         lookat, dist, elev, az = self.camera_pose(vp)

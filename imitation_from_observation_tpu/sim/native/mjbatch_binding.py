@@ -40,6 +40,16 @@ def _ensure_built() -> ctypes.CDLL:
         lib.mjb_reset.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.mjb_subtree_com.argtypes = [ctypes.c_void_p, ctypes.c_int, dp]
         lib.mjb_last_error.restype = ctypes.c_char_p
+        fp = ctypes.POINTER(ctypes.c_float)
+        ubp = ctypes.POINTER(ctypes.c_ubyte)
+        lib.mjb_set_state_one.argtypes = [ctypes.c_void_p, ctypes.c_int, dp, dp]
+        lib.mjb_ngeom.argtypes = [ctypes.c_void_p]
+        lib.mjb_ngeom.restype = ctypes.c_int
+        lib.mjb_sync_geoms.argtypes = [ctypes.c_void_p, ctypes.c_int, fp, dp]
+        lib.mjb_render_setup.argtypes = [ctypes.c_void_p] + [ctypes.c_int] * 3
+        lib.mjb_render_setup.restype = ctypes.c_int
+        lib.mjb_render.argtypes = [ctypes.c_void_p, dp, ctypes.c_int, ubp]
+        lib.mjb_render.restype = ctypes.c_int
         _lib = lib
         return lib
 
@@ -87,6 +97,53 @@ class NativeBatchSim:
     def subtree_com(self, body_id: int) -> np.ndarray:
         out = np.empty((self.n, 3), np.float64)
         self._lib.mjb_subtree_com(self._pool, body_id, _ptr(out))
+        return out
+
+    def set_state_one(self, i: int, qpos: np.ndarray, qvel: np.ndarray) -> None:
+        qpos = np.ascontiguousarray(qpos, np.float64)
+        qvel = np.ascontiguousarray(qvel, np.float64)
+        self._lib.mjb_set_state_one(self._pool, i, _ptr(qpos), _ptr(qvel))
+
+    @property
+    def ngeom(self) -> int:
+        return self._lib.mjb_ngeom(self._pool)
+
+    def sync_geoms(self, i: int, rgba: np.ndarray | None, pos: np.ndarray | None) -> None:
+        """Push per-env randomized geom colors/positions into sim slot i."""
+        rp = pp = None
+        if rgba is not None:
+            rgba = np.ascontiguousarray(rgba, np.float32)
+            assert rgba.shape == (self.ngeom, 4)
+            rp = rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        if pos is not None:
+            pos = np.ascontiguousarray(pos, np.float64)
+            assert pos.shape == (self.ngeom, 3)
+            pp = _ptr(pos)
+        self._lib.mjb_sync_geoms(self._pool, i, rp, pp)
+
+    def render_setup(self, width: int, height: int, fast: bool = True) -> None:
+        """Create the shared EGL + mjr context for this pool (idempotent)."""
+        rc = self._lib.mjb_render_setup(self._pool, width, height, int(fast))
+        if rc != 0:
+            raise RuntimeError(f"mjb_render_setup: {self._lib.mjb_last_error().decode()}")
+        self._render_hw = (height, width)
+
+    def render(self, cams: np.ndarray) -> np.ndarray:
+        """Render every sim at every viewpoint in ONE GIL-free C call.
+
+        cams: [n, nvp, 6] float64 rows (lookat xyz, distance, elevation,
+        azimuth). Returns uint8 [n, nvp, H, W, 3] (top-down RGB).
+        """
+        cams = np.ascontiguousarray(cams, np.float64)
+        assert cams.ndim == 3 and cams.shape[0] == self.n and cams.shape[2] == 6
+        nvp = cams.shape[1]
+        h, w = self._render_hw
+        out = np.empty((self.n, nvp, h, w, 3), np.uint8)
+        rc = self._lib.mjb_render(
+            self._pool, _ptr(cams), nvp, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+        )
+        if rc != 0:
+            raise RuntimeError(f"mjb_render: {self._lib.mjb_last_error().decode()}")
         return out
 
     def close(self) -> None:

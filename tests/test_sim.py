@@ -181,3 +181,91 @@ def test_native_batch_sim_matches_python():
     bid = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_BODY, "object")
     np.testing.assert_allclose(sim.subtree_com(bid)[1], d.subtree_com[bid], atol=1e-10)
     sim.close()
+
+
+def _native_render_or_skip():
+    from imitation_from_observation_tpu.sim import native_render_available
+
+    if not native_render_available():
+        pytest.skip("native renderer unavailable (no EGL device display)")
+
+
+def test_native_render_matches_python_renderer():
+    """The pool's shared-EGL offscreen renderer must be bit-identical to
+    mujoco.Renderer for the same model state, camera and quality flags
+    (replaces the reference's GLFW/FBO get_image, mjviewer.py:46-120)."""
+    _native_render_or_skip()
+    env = make_env("reacher3dof", EnvConfig(name="reacher3dof", seed=3, render_size=(96, 96)))
+    env.reset()
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        env.do_simulation(rng.uniform(-1, 1, env.action_space.shape), 5)
+
+    import os
+
+    from imitation_from_observation_tpu.sim.base import _ASSET_DIR
+    from imitation_from_observation_tpu.sim.native.mjbatch_binding import NativeBatchSim
+
+    pool = NativeBatchSim(os.path.join(_ASSET_DIR, "reacher3dof.xml"), 1)
+    pool.render_setup(96, 96, fast=True)
+    pool.sync_geoms(0, env.model.geom_rgba, env.model.geom_pos)
+    pool.set_state_one(0, env.data.qpos, env.data.qvel)
+    cams = np.zeros((1, 1, 6))
+    lookat, dist, elev, az = env.camera_pose(0)
+    cams[0, 0, :3] = lookat
+    cams[0, 0, 3:] = (dist, elev, az)
+    native = pool.render(cams)[0, 0]
+    ref = env.render(0)  # same size, no resize
+    np.testing.assert_array_equal(native, ref)
+    env.close()
+    pool.close()
+
+
+@pytest.mark.parametrize("name,nvp", [("pusher3dof", 1), ("striker", 2)])
+def test_native_frame_vec_env_parity(name, nvp):
+    """NativeFrameVecEnv must produce identical observations and bit-identical
+    odd-step frames to the per-env python path, including auto-reset geom
+    randomization sync and multi-viewpoint rendering."""
+    _native_render_or_skip()
+    from imitation_from_observation_tpu.sim import NativeFrameVecEnv
+
+    def build(cls):
+        def mk(i):
+            return lambda: NormalizedEnv(
+                make_env(
+                    name,
+                    EnvConfig(
+                        name=name,
+                        seed=11 + i,
+                        render_frames=True,
+                        render_size=(64, 64),
+                        image_size=(32, 32),
+                        n_viewpoints=nvp,
+                        horizon=4,
+                    ),
+                )
+            )
+
+        return cls([mk(i) for i in range(2)], max_path_length=4)
+
+    va, vb = build(VecEnv), build(NativeFrameVecEnv)
+    oa, ob = va.reset(), vb.reset()
+    np.testing.assert_allclose(oa, ob)
+    rng = np.random.default_rng(0)
+    saw_frames = False
+    for t in range(9):  # crosses an auto-reset boundary at t=3
+        a = rng.uniform(-1, 1, (2,) + va.action_space.shape)
+        oa, _, da, ia = va.step(a)
+        ob, _, db, ib = vb.step(a)
+        np.testing.assert_allclose(oa, ob, err_msg=f"obs diverged at step {t}")
+        np.testing.assert_array_equal(da, db)
+        for i in range(2):
+            fa, fb = ia[i].get("frames"), ib[i].get("frames")
+            assert (fa is None) == (fb is None)
+            if fa is not None:
+                saw_frames = True
+                assert fb.shape == (nvp, 32, 32, 3)
+                np.testing.assert_array_equal(fa, fb)
+    assert saw_frames
+    va.close()
+    vb.close()
