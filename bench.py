@@ -1,18 +1,29 @@
-"""Headline benchmark: translated frames/sec/chip.
+"""Headline benchmark, covering BASELINE.json's metric set.
 
-The reference's hot inference path is the visual reward engine
-(rllab/sampler/base.py:195-257): encode agent frames + translate demo videos
-with ContextSkipNew on a GPU, one 25-frame batch per sess.run. This benchmark
-measures the same computation — ``ContextSkip.translate`` (encode src + ctx,
-feature translate, deconv decode) at 48x48 — on one TPU chip.
+One JSON line with three measurements:
 
-``vs_baseline`` is the speedup over the BASELINE.json reference point: the
-same translate graph on the host CPU (the reference repo publishes no numeric
-throughput; BASELINE.json's north star is ">=10x CPU-reference translated
-frames/sec/chip", so the CPU measurement — cached in ``.bench_cpu.json``,
-measured by this script in a subprocess on first run — is the denominator).
+- ``translated_frames_per_sec_per_chip`` (headline ``value``): the visual
+  reward engine's hot inference path (rllab/sampler/base.py:195-257) —
+  ``ContextSkip.translate`` at 48x48 in bf16 on one chip. The timed loop
+  carries BOTH inputs ((src, ctx) -> (out, src)), so the context encoder is
+  re-run every iteration — nothing is loop-invariant for XLA to hoist; this
+  is the full encode-src + encode-ctx + translate + decode graph per frame.
+- ``reward_eval_latency_ms_per_step``: steady-state latency of
+  ``VisualRewardEngine.process`` on a production-shape RL iteration
+  (80 paths x 51 steps, 25 scored 48x48 frames each, 30 held-out demos,
+  mode 'ours'), divided by total env steps — BASELINE.json's "reward-eval
+  latency per rollout step".
+- ``frame_psnr_parity_db``: PSNR between the flax ContextSkip forward and
+  the independent torch oracle (TF1 conv/deconv semantics) with identical
+  weights on a fixed input batch — BASELINE.json's "frame PSNR parity"
+  (computed on CPU; inf-safe capped at 99 dB).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the headline fps over the single-core CPU reference point
+cached in ``BENCH_BASELINE_CPU.json``. The cache was measured with the
+pre-fix loop (context encode hoisted), i.e. a LIGHTER graph than today's
+numerator — the reported speedup is therefore conservative.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 from __future__ import annotations
@@ -59,14 +70,16 @@ def measure(
     # The TPU here sits behind an async relay where per-call dispatch/fetch
     # latency dwarfs compute and block_until_ready is unreliable; so iterate
     # on-device (each translate feeds the next — a true data dependency) and
-    # time a single execution ending in a scalar fetch.
+    # time a single execution ending in a scalar fetch. The ctx input rotates
+    # through the carry so the context encoder runs INSIDE the loop.
     @jax.jit
     def translate_n(params, src, ctx, n):
-        def body(_, s):
-            _, out = model.apply(params, s, ctx, method="translate")
-            return out.astype(dtype)
+        def body(_, carry):
+            s, c = carry
+            _, out = model.apply(params, s, c, method="translate")
+            return (out.astype(dtype), s)
 
-        out = jax.lax.fori_loop(0, n, body, src)
+        out, _ = jax.lax.fori_loop(0, n, body, (src, ctx))
         return jnp.sum(out.astype(jnp.float32))
 
     one = jnp.asarray(1, jnp.int32)  # traced bound: one compile for any n
@@ -83,6 +96,66 @@ def measure(
     # subtract the 1-iteration call (dispatch + fetch + one translate) so the
     # result reflects steady-state per-translate throughput
     return batch * iters / max(dt - dt1, 1e-9)
+
+
+def measure_reward_latency(
+    n_paths: int = 80, horizon: int = 51, n_demos: int = 30, hw: int = 48
+) -> float:
+    """Steady-state VisualRewardEngine.process wall time per env step (ms)."""
+    import jax
+    import numpy as np
+
+    from imitation_from_observation_tpu.core.config import (
+        RewardConfig,
+        TranslationModelConfig,
+    )
+    from imitation_from_observation_tpu.models import build_model
+    from imitation_from_observation_tpu.reward import VisualRewardEngine
+
+    t_frames = horizon // 2  # scored odd steps (base.py:256)
+    rng = np.random.default_rng(0)
+    model_cfg = TranslationModelConfig(model="context_skip", image_size=(hw, hw))
+    model = build_model(model_cfg)
+    x = np.zeros((1, hw, hw, 3), np.float32)
+    params = model.init(jax.random.key(0), x, x, x)
+    demo = rng.uniform(-1, 1, (t_frames, n_demos, hw, hw, 3)).astype(np.float32)
+    eng = VisualRewardEngine(
+        RewardConfig(mode="ours", scale=0.1), model_cfg, params=params, demo_data=demo
+    )
+
+    def make_paths(seed):
+        r = np.random.default_rng(seed)
+        paths = []
+        for _ in range(n_paths):
+            frames = [None] * horizon
+            for j in range(t_frames):
+                frames[2 * j + 1] = r.integers(0, 255, (1, hw, hw, 3), dtype=np.uint8)
+            paths.append(
+                dict(
+                    rewards=np.zeros(horizon),
+                    env_infos={"frames": frames, "reward_true": np.zeros(horizon)},
+                )
+            )
+        return paths
+
+    eng.process(make_paths(1))  # compile + demo-translation warmup cache
+    eng.process(make_paths(2))  # steady-state warm call
+    t0 = time.perf_counter()
+    eng.process(make_paths(3))
+    dt = time.perf_counter() - t0
+    return dt / (n_paths * horizon) * 1e3
+
+
+def measure_psnr_parity(hw: int = 48, batch: int = 4) -> float | None:
+    """PSNR (dB) of the flax ContextSkip forward vs the torch TF1-semantics
+    oracle with identical weights. None if the oracle is unavailable."""
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+        from oracle_contextskip import psnr_vs_oracle
+
+        return psnr_vs_oracle(hw=hw, batch=batch)
+    except Exception:
+        return None
 
 
 def cpu_baseline() -> float:
@@ -116,6 +189,11 @@ def main() -> None:
         vs = fps / base
     except Exception:
         vs = float("nan")
+    try:
+        reward_ms = round(measure_reward_latency(), 4)
+    except Exception:
+        reward_ms = None
+    psnr = measure_psnr_parity()
     print(
         json.dumps(
             {
@@ -123,6 +201,8 @@ def main() -> None:
                 "value": round(fps, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(vs, 2),
+                "reward_eval_latency_ms_per_step": reward_ms,
+                "frame_psnr_parity_db": psnr,
             }
         )
     )

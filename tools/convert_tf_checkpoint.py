@@ -44,16 +44,19 @@ def convert_inception(prefix: str, out: str) -> None:
     print(f"wrote {out}; load with models.inception_v3.load_tf_slim_npz")
 
 
-def convert_translation(prefix: str, out: str) -> None:
-    """Emit npz keyed by flax paths (conv/h0_conv/w ...). Loading:
+def rename_translation_vars(variables: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Map reference TF1 variable names to flax param paths.
 
-        params_like = model.init(...)
-        data = np.load(out)
-        # walk params_like with jax.tree_util.tree_flatten_with_path and
-        # replace each leaf by data['/'.join(path)] — see
-        # models/inception_v3.load_tf_slim_npz for the same pattern.
+    The reference graph names (arm_shaping.py:22-48 helpers under the scopes
+    of ContextSkipNew.build, :1260-1340):
+    ``contextmodel/conv/h0_conv/w``, ``.../h0_conv/biases`` (conv2d),
+    ``.../h4_lin/Matrix``, ``.../h4_lin/bias`` (linear),
+    ``deconv/d_h1/w``/``biases`` (deconv2d) — scope names match the flax
+    module names 1:1, so only the leaf names change:
+    Matrix -> w, biases/bias -> b. Conv kernels are HWIO in both frameworks
+    and deconv kernels [k, k, out, in] in both, so arrays copy unchanged.
+    Optimizer slot variables are dropped.
     """
-    variables = _load_tf_vars(prefix)
     renamed = {}
     for name, arr in variables.items():
         if any(s in name for s in ("Adam", "beta1_power", "beta2_power")):
@@ -61,9 +64,52 @@ def convert_translation(prefix: str, out: str) -> None:
         key = name
         if key.startswith("contextmodel/"):
             key = key[len("contextmodel/") :]
-        # TF 'Matrix'/'bias' of linear() -> our Dense 'w'/'b'
-        key = key.replace("/Matrix", "/w").replace("/bias", "/b").replace("/biases", "/b")
-        renamed[key] = arr
+        # order matters: '/biases' contains '/bias'
+        if key.endswith("/biases"):
+            key = key[: -len("biases")] + "b"
+        elif key.endswith("/bias"):
+            key = key[: -len("bias")] + "b"
+        elif key.endswith("/Matrix"):
+            key = key[: -len("Matrix")] + "w"
+        renamed[key] = np.asarray(arr)
+    return renamed
+
+
+def load_translation_npz(params_like, path: str):
+    """Fill a flax param tree (from ``model.init``) with converted weights.
+
+    Leaves are matched by their flax path joined with '/', e.g.
+    ``conv/h0_conv/w`` (the top-level 'params' collection key is skipped).
+    Raises KeyError listing any missing tensors; shape mismatches raise too.
+    """
+    import jax
+
+    data = np.load(path)
+    missing = []
+
+    def fill(key_path, leaf):
+        keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in key_path]
+        if keys and keys[0] == "params":
+            keys = keys[1:]
+        name = "/".join(str(k) for k in keys)
+        if name not in data:
+            missing.append(name)
+            return leaf
+        arr = np.asarray(data[name])
+        if arr.shape != leaf.shape:
+            raise ValueError(f"{name}: checkpoint shape {arr.shape} != model {leaf.shape}")
+        return arr.astype(np.asarray(leaf).dtype)
+
+    out = jax.tree_util.tree_map_with_path(fill, params_like)
+    if missing:
+        raise KeyError(f"checkpoint missing tensors: {missing}")
+    return out
+
+
+def convert_translation(prefix: str, out: str) -> None:
+    """Emit npz keyed by flax paths (conv/h0_conv/w ...); load with
+    ``load_translation_npz(model.init(...), out)``."""
+    renamed = rename_translation_vars(_load_tf_vars(prefix))
     np.savez(out, **renamed)
     print(f"wrote {out} with {len(renamed)} tensors")
 
