@@ -62,22 +62,34 @@ def _context_feat(cfg: TranslationModelConfig) -> ContextFeat:
 def _register_variants() -> None:
     from imitation_from_observation_tpu.models.zoo_variants import (
         CONTEXT_VARIANTS,
-        ContextVariant,
+        ContextAEInceptionVariant,
+        ContextVanillaDropVariant,
     )
 
-    def make(name: str, flags: dict):
+    def make(name: str, cls: type):
         @register(name)
-        def _build(cfg: TranslationModelConfig, _flags=flags):
-            return ContextVariant(
+        def _build(cfg: TranslationModelConfig, _cls=cls):
+            if _cls is ContextAEInceptionVariant:
+                # feature-map model: df_dim defaults to 256 (:1687); spatial
+                # dims/channels come from the backbone feature maps
+                return _cls(
+                    base_filters=cfg.base_filters if cfg.base_filters != 64 else 256,
+                    feat_size=cfg.feat_size,
+                    feature_hw=tuple(cfg.image_size) if max(cfg.image_size) <= 16 else (8, 8),
+                    feature_channels=cfg.channels if cfg.channels != 3 else 2048,
+                )
+            kwargs = dict(
                 base_filters=cfg.base_filters,
                 feat_size=cfg.feat_size,
                 image_size=tuple(cfg.image_size),
                 channels=cfg.channels,
-                **_flags,
             )
+            if _cls is ContextVanillaDropVariant:
+                kwargs["dropout_rate"] = cfg.dropout_rate
+            return _cls(**kwargs)
 
-    for name, flags in CONTEXT_VARIANTS.items():
-        make(name, flags)
+    for name, cls in CONTEXT_VARIANTS.items():
+        make(name, cls)
 
 
 _register_variants()

@@ -122,8 +122,16 @@ def deconv2d(
     w: jax.Array,
     b: jax.Array | None = None,
     stride: int | tuple[int, int] = 2,
+    out_hw: tuple[int, int] | None = None,
 ) -> jax.Array:
     """Transposed 2-D convolution, NHWC -> NHWC with output = input * stride.
+
+    ``out_hw`` reproduces TF's *explicit* ``output_shape``: any size with
+    ``ceil(out/s) == in`` is valid (the reference's feature-map variant passes
+    skip-tensor shapes, e.g. 1x1 -> 1x1 at stride 2, arm_shaping.py:1747-1761).
+    When given and different from ``in*s``, the full transposed conv is
+    computed and cropped by the forward-SAME low padding — the exact TF
+    semantics.
 
     Matches ``tf.nn.conv2d_transpose`` with SAME padding
     (arm_shaping.py:63-85): the true adjoint of :func:`conv2d`, i.e. the
@@ -139,6 +147,26 @@ def deconv2d(
     the flag exists for architectures where dilated convs lower poorly.
     """
     s = (stride, stride) if isinstance(stride, int) else tuple(stride)
+    if out_hw is not None and tuple(out_hw) != (x.shape[1] * s[0], x.shape[2] * s[1]):
+        k_h, k_w = w.shape[0], w.shape[1]
+        oh, ow = out_hw
+        if -(-oh // s[0]) != x.shape[1] or -(-ow // s[1]) != x.shape[2]:
+            raise ValueError(f"out_hw {out_hw} invalid for input {x.shape[1:3]} stride {s}")
+        full = lax.conv_transpose(
+            x,
+            w.astype(x.dtype),
+            strides=s,
+            padding=[(k_h - 1, k_h - 1), (k_w - 1, k_w - 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True,
+            preferred_element_type=jnp.float32,
+        )
+        lo_h = max(((-(-oh // s[0])) - 1) * s[0] + k_h - oh, 0) // 2
+        lo_w = max(((-(-ow // s[1])) - 1) * s[1] + k_w - ow, 0) // 2
+        out = full[:, lo_h : lo_h + oh, lo_w : lo_w + ow, :]
+        if b is not None:
+            out = out + b.astype(out.dtype)
+        return out.astype(x.dtype)
     if s[0] == s[1] and s[0] > 1 and os.environ.get("IFO_TPU_PHASE_DECONV") == "1":
         out = _deconv2d_phase(x, w, s[0])
     else:

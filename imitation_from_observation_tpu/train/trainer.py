@@ -124,6 +124,17 @@ class TranslationTrainer:
             )
         else:
             outs = self.model.apply(params, src, ctx, tgt)
+        return self._compute_loss(outs, tgt)
+
+    def _compute_loss(self, outs, tgt):
+        # zoo variants define their own reference loss (plain l2, block
+        # simloss, variance-normalized sim, ... — zoo_variants.py); the
+        # canonical models use the 3-term loss with ablation/weight knobs
+        variant_loss = getattr(self.model, "variant_loss", None)
+        if variant_loss is not None:
+            loss, metrics = variant_loss(outs, tgt)
+            zero = jnp.zeros((), jnp.float32)
+            return loss, {"recon1": zero, "recon2": zero, "simloss": zero, **metrics}
         return translation_loss(outs, tgt, self.model_cfg.sim_weight, self.model_cfg.loss_ablation)
 
     def _build_train_step(self):
@@ -175,7 +186,8 @@ class TranslationTrainer:
         @jax.jit
         def eval_step(params, src, ctx, tgt):
             outs = self.model.apply(params, src, ctx, tgt)
-            _, metrics = translation_loss(outs, tgt, self.model_cfg.sim_weight, self.model_cfg.loss_ablation)
+            _, metrics = self._compute_loss(outs, tgt)
+            metrics = dict(metrics)
             metrics["nn_err"] = nn_err_metric(tgt, outs.out, self.nlen)
             return metrics, outs
 
