@@ -236,6 +236,25 @@ class _ContextBase(nn.Module):
         out = self.decode(trans_z, ctx_skips, deterministic=True)
         return trans_z, out
 
+    def translate_one_ctx(self, src, ctx1):
+        """Translate a batch of src frames into ONE shared context.
+
+        ``ctx1``: [1, H, W, C]. The context encoder runs once; its latent and
+        skip maps broadcast across the src batch — the reward engine's demo
+        warmup (engine.py) translates hundreds of time-aligned frames into
+        the same agent context, where re-encoding the identical ctx per frame
+        (as the reference's [src, ctx, tgt] batch layout implies,
+        rllab/sampler/base.py:199-226) wastes ~half the encoder FLOPs.
+        """
+        ctx_skips, ctx_z = self.encode_ctx(ctx1, deterministic=True)
+        _, src_z = self.encode_img(src, deterministic=True)
+        b = src.shape[0]
+        ctx_zb = jnp.broadcast_to(ctx_z, (b, ctx_z.shape[-1]))
+        trans_z = self.translator(src_z, ctx_zb, deterministic=True)
+        skips_b = [jnp.broadcast_to(s, (b, *s.shape[1:])) for s in ctx_skips]
+        out = self.decode(trans_z, skips_b, deterministic=True)
+        return trans_z, out
+
 
 class ContextSkip(_ContextBase):
     """ContextSkipNew (arm_shaping.py:1260-1354): 48x48 / 64x64 sim tasks.
@@ -360,3 +379,7 @@ class ContextFeat(_ContextBase):
     def translate(self, src, ctx):
         trans_z, out = super().translate(src, ctx)
         return trans_z, out + ctx
+
+    def translate_one_ctx(self, src, ctx1):
+        trans_z, out = super().translate_one_ctx(src, ctx1)
+        return trans_z, out + ctx1

@@ -106,6 +106,20 @@ class VisualRewardEngine:
             """src [B,H,W,C] in [-1,1]; ctx [B,H,W,C]; -> (z [B,F], out)."""
             return model.apply(params, src, ctx, method="translate")
 
+        if hasattr(model, "translate_one_ctx"):
+            # warmup fast path: one shared agent context per viewpoint —
+            # encode it ONCE per chunk instead of once per demo frame
+            @jax.jit
+            def translate_chunk_ctx1(params, src, ctx1):
+                return model.apply(params, src, ctx1, method="translate_one_ctx")
+
+        else:
+
+            @jax.jit
+            def translate_chunk_ctx1(params, src, ctx1):
+                ctx_b = jnp.broadcast_to(ctx1, (src.shape[0], *ctx1.shape[1:]))
+                return model.apply(params, src, ctx_b, method="translate")
+
         @jax.jit
         def score_paths(params, x, means, mean_imgs, scale):
             """x [P, T, V, ...] in model space; means [V, T, F];
@@ -142,6 +156,7 @@ class VisualRewardEngine:
             return jnp.sum(err, axis=-1)
 
         self._translate_chunk = translate_chunk
+        self._translate_chunk_ctx1 = translate_chunk_ctx1
         self._score_paths = score_paths
         self._recon_paths = recon_paths
 
@@ -170,15 +185,14 @@ class VisualRewardEngine:
         T, N = self.demo_data.shape[:2]
         self.means, self.imgs = [], []
         for vp in range(self.nvp):
-            ctx = jnp.asarray(self._frames_to_model_space(context_frames[vp]))
+            ctx1 = jnp.asarray(self._frames_to_model_space(context_frames[vp]))[None]
             zs, outs = [], []
             c = self.chunk_videos
             for start in range(0, N, c):
                 vids = self._demos_to_model_space(self.demo_data[:, start : start + c])
                 n = vids.shape[1]
                 src = jnp.asarray(np.moveaxis(vids, 1, 0).reshape(n * T, *vids.shape[2:]))
-                ctx_b = jnp.broadcast_to(ctx, (n * T, *ctx.shape))
-                z, out = self._translate_chunk(self.params, src, ctx_b)
+                z, out = self._translate_chunk_ctx1(self.params, src, ctx1)
                 zs.append(np.asarray(z, np.float32).reshape(n, T, -1))
                 outs.append(np.asarray(out, np.float32).reshape(n, T, *out.shape[1:]))
             z_all = np.concatenate(zs)  # [N, T, F]

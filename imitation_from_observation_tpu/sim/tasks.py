@@ -342,8 +342,13 @@ class Pusher3DOFReal(Pusher3DOF):
         qpos = self.init_qpos.copy()
         qpos[0], qpos[1], qpos[2] = 1.7, 3.0, 1.5
         if self.config.goal is not None:
-            self.object = np.asarray(self.config.object_pos)
-            self.goal = np.asarray(self.config.goal)
+            if self.config.object_pos is None:
+                raise ValueError(
+                    "pusher3dofreal: config.goal is set but config.object_pos is "
+                    "None — the real-scene task needs both fixed positions"
+                )
+            self.object = np.asarray(self.config.object_pos, np.float64)
+            self.goal = np.asarray(self.config.goal, np.float64)
         else:
             self.object = np.zeros(2)
             self.goal = np.zeros(2)

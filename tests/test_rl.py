@@ -305,3 +305,58 @@ def test_gru_policy_reset_where():
     np.testing.assert_allclose(carry_after[0], 0)
     np.testing.assert_allclose(carry_after[2], 0)
     np.testing.assert_allclose(carry_after[1], carry_before[1])
+
+
+def test_sampler_masked_recurrent_reset_mid_batch():
+    """When one env auto-resets mid-batch, ONLY its GRU state is zeroed —
+    surviving envs' hidden state is untouched (reference vec_env_executor
+    per-env reset semantics, sandbox/rocky/tf/envs/vec_env_executor.py:8-47)."""
+    from imitation_from_observation_tpu.rl.policies_extra import GaussianGRUPolicy
+    from imitation_from_observation_tpu.rl.sampler import VectorizedSampler
+
+    class StaggeredVec:
+        """2 fake envs; env 0 dones every 2 steps, env 1 every 4."""
+
+        n_envs = 2
+
+        def __init__(self):
+            self.t = 0
+            self.carry_log = []
+
+        def reset(self):
+            self.t = 0
+            return np.zeros((2, 3), np.float32)
+
+        def step(self, actions):
+            self.t += 1
+            dones = np.array([self.t % 2 == 0, self.t % 4 == 0])
+            obs = np.full((2, 3), self.t, np.float32)
+            return obs, np.zeros(2), dones, [dict(), dict()]
+
+    pol = GaussianGRUPolicy(obs_dim=3, action_dim=2, hidden=4, seed=0)
+    vec = StaggeredVec()
+    sampler = VectorizedSampler(vec, pol, batch_size=6, max_path_length=4)
+
+    carries = []
+    orig_reset_where = pol.reset_where
+
+    def spying_reset_where(dones):
+        carries.append((np.asarray(pol._carry).copy(), np.asarray(dones).copy()))
+        orig_reset_where(dones)
+        carries[-1] = carries[-1] + (np.asarray(pol._carry).copy(),)
+
+    pol.reset_where = spying_reset_where
+    sampler.obtain_samples()
+    assert carries, "mid-batch resets never happened"
+    for before, dones, after in carries:
+        for i, d in enumerate(dones):
+            if d:
+                np.testing.assert_allclose(after[i], 0)
+            else:
+                np.testing.assert_allclose(after[i], before[i])  # untouched
+    # at least one event had a survivor with live (nonzero) state
+    assert any(
+        (not d) and np.abs(before[i]).max() > 0
+        for before, dones, _ in carries
+        for i, d in enumerate(dones)
+    )
