@@ -117,6 +117,10 @@ class EnvConfig(_Base):
     # oracle experts for demo generation (the visual-imitation loop always
     # runs with 0 native reward, like the reference envs)
     dense_reward: bool = False
+    # full-state observation variant (proprio + effector/object/goal COMs,
+    # reference pusher3dof.py:121-134 tpil/inceptionsame branch) — the obs
+    # the reference's shipped expert policies were trained on
+    full_state: bool = False
     seed: int = 0
 
 

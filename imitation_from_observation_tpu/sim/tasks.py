@@ -61,7 +61,11 @@ class Pusher3DOF(MujocoTask):
 
     def _get_obs(self) -> np.ndarray:
         # qpos/qvel minus the object+goal slide dofs (pusher3dof.py:129-134);
-        # proprioceptive-only so visual reward carries the task signal
+        # proprioceptive-only so visual reward carries the task signal.
+        # config.full_state switches to the tpil/inceptionsame variant the
+        # reference's shipped experts were trained on.
+        if self.config.full_state:
+            return self.full_state_obs()
         return np.concatenate(
             [self.data.qpos.flat[:-4], self.data.qvel.flat[:-4]]
         ).astype(np.float32)
@@ -129,6 +133,8 @@ class Reacher3DOF(MujocoTask):
         return self._get_obs()
 
     def _get_obs(self) -> np.ndarray:
+        if self.config.full_state:
+            return self.full_state_obs()
         return np.concatenate(
             [self.data.qpos.flat[:-4], self.data.qvel.flat[:-4]]
         ).astype(np.float32)

@@ -269,3 +269,93 @@ def test_native_frame_vec_env_parity(name, nvp):
     assert saw_frames
     va.close()
     vb.close()
+
+
+def test_object_contact_mass_parity():
+    """Pushable objects must have the reference's effective contact mass.
+
+    The reference MJCFs put pos="0.025 0.025 0.025" on object slide joints —
+    meaningless for a slide's kinematics, but it defeats MuJoCo's simple-body
+    classification so the near-massless cylinders get their armature (0.04)
+    as contact mass instead of the raw ~6e-8 kg. Without it, body_invweight0
+    is ~1.6e7 and arm contacts transfer ZERO force (regression: objects were
+    unpushable, experts/demos silently degenerate)."""
+    import mujoco
+
+    from imitation_from_observation_tpu.sim.base import _ASSET_DIR
+    import os
+
+    expect = {
+        "pusher3dof.xml": [("object", 16.7)],
+        "pusher3dofreal.xml": [("object", 16.7)],
+        "reacher3dof.xml": [("object", 16.7)],
+        "cleaner.xml": [(f"object{i}", 16.7) for i in range(5)],
+        "striker.xml": [("object", 0.796)],
+        "thrower.xml": [("ball", 353.7)],
+    }
+    for xml, rows in expect.items():
+        m = mujoco.MjModel.from_xml_path(os.path.join(_ASSET_DIR, xml))
+        for name, inv in rows:
+            b = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_BODY, name)
+            got = m.body_invweight0[b, 0]
+            assert abs(got - inv) / inv < 0.05, f"{xml}:{name} invweight0 {got} != ~{inv}"
+
+
+def test_pusher_object_is_pushable():
+    """Driving the arm through the object must move it (contact force > 0)."""
+    env = make_env("pusher3dof", EnvConfig(name="pusher3dof", render_frames=False, seed=0))
+    env.reset()
+    # place the object right at the current gripper tip, then sweep the arm
+    tip = env.body_com("distal_4")[:2]
+    qpos = env.data.qpos.copy()
+    qpos[-4:-2] = [tip[1], tip[0]]  # (slidey, slidex)
+    env.set_state(qpos, env.data.qvel * 0)
+    obj0 = env.body_com("object")[:2].copy()
+    moved = 0.0
+    for sign in (1.0, -1.0):  # sweep both directions to guarantee contact
+        for _ in range(30):
+            env.do_simulation(sign * np.array([3.0, 3.0, 3.0]), 5)
+        moved = max(moved, np.linalg.norm(env.body_com("object")[:2] - obj0))
+    env.close()
+    assert moved > 0.05, f"object did not move ({moved=})"
+
+
+def test_reference_expert_extraction_solves_push():
+    """End-to-end proof of the expert extraction (VERDICT #8): the reference
+    expert_push.pkl, converted to our npz policy format, pushes the object
+    most of the way to the goal in OUR env (reward_true = -final/initial
+    distance; random policy scores ~-1.0)."""
+    import os
+
+    if not os.path.exists("/root/reference/expert_push.pkl"):
+        pytest.skip("reference pickles not available")
+    import sys
+
+    sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "tools")))
+    from extract_reference_experts import extract
+
+    from imitation_from_observation_tpu.exp.train_expert import load_expert
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        extract("/root/reference", tmp)
+        pol = load_expert(os.path.join(tmp, "expert_push"))
+        finals = []
+        for ep in range(5):
+            env = NormalizedEnv(
+                make_env(
+                    "pusher3dof",
+                    EnvConfig(name="pusher3dof", render_frames=False, full_state=True, seed=200 + ep),
+                )
+            )
+            obs = env.reset()
+            final = 0.0
+            for _ in range(50):
+                a = np.asarray(pol.dist_info(pol.params, np.asarray(obs)[None].astype(np.float32))["mean"])[0]
+                obs, _, _, info = env.step(a)
+                if info["reward_true"]:
+                    final = info["reward_true"]
+            finals.append(final)
+            env.close()
+        assert np.mean(finals) > -0.5, f"expert underperforms: {finals}"

@@ -1,8 +1,8 @@
 """Convert reference TF1 checkpoints to this framework's npz formats.
 
-Two converters (both need tensorflow installed — any 1.x/2.x with
-``tf.train.load_checkpoint``; this image ships without TF, so run wherever
-the reference checkpoints live):
+Two converters (both need tensorflow — any 1.x/2.x with
+``tf.train.load_checkpoint``; this image ships TF 2.21, so they run here
+directly):
 
 1. Translation models (``tf.train.Saver`` checkpoints written by
    scripts/train_script.py:181) -> the flax param tree of the matching model
