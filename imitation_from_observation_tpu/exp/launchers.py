@@ -95,13 +95,24 @@ def run_visual_trpo(
 
         policy.params = load_pytree(resume_from, policy.params)
     if feature_fn is None and cfg.reward.mode in ("oursinception", "inception", "inceptionsame"):
-        from imitation_from_observation_tpu.reward.backbones import make_inception_feature_fn
+        from imitation_from_observation_tpu.reward.backbones import (
+            make_inception_feature_fn,
+            restore_sanity_check,
+        )
 
         feature_fn = make_inception_feature_fn(
             layer=cfg.reward.inception_layer,
             npz_path=cfg.reward.backbone_npz or None,
             input_size=cfg.env.image_size,
         )
+        if cfg.reward.backbone_npz:
+            # the reference classified bird.jpg at startup to validate the
+            # restore (base.py:86-89); log the top classes the moment real
+            # weights are in play
+            from imitation_from_observation_tpu.core.log import get_logger
+
+            top = restore_sanity_check(cfg.reward.backbone_npz)
+            get_logger().log(f"inception restore sanity check: top classes {list(top)}")
     import jax
 
     from imitation_from_observation_tpu.parallel import make_mesh

