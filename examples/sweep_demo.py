@@ -1,7 +1,7 @@
-"""Moderate-scale push pipeline on real hardware: reference expert (extracted
-from /root/reference/expert_push.pkl) -> 40 demo videos -> ContextSkip
-training (TPU, on-device data) -> visual-reward TRPO.
-Artifacts (progress.csv, plots, demo stats) land in examples/results/push_demo.
+"""Moderate-scale sweep (Cleaner) pipeline on real hardware: reference expert
+(extracted from /root/reference/expert_sweep.pkl) -> 40 demo videos ->
+ContextSmall training at the reference's (36,64) real/sweep resolution ->
+visual-reward TRPO. Artifacts land in examples/results/sweep_demo.
 """
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -9,17 +9,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from imitation_from_observation_tpu.core.config import preset
 from imitation_from_observation_tpu.exp.launchers import run_pipeline
 
-LOG = os.path.join(os.path.dirname(__file__), "results", "push_demo")
-EXPERT = os.path.join(os.path.dirname(__file__), "..", "data", "reference_experts", "expert_push")
+LOG = os.path.join(os.path.dirname(__file__), "results", "sweep_demo")
+EXPERT = os.path.join(os.path.dirname(__file__), "..", "data", "reference_experts", "expert_sweep")
 
 if not os.path.exists(EXPERT + ".npz"):
     from tools.extract_reference_experts import extract
 
     extract("/root/reference", os.path.dirname(EXPERT))
 
-cfg = preset("push")
+cfg = preset("sweep")
 cfg = cfg.replace(
-    name="push_demo",
+    name="sweep_demo",
     env=cfg.env.replace(horizon=50),
     train=cfg.train.replace(batch_size=64, eval_every=100, save_every=1000, log_every=100,
                             learning_rate=1e-4),
@@ -29,7 +29,7 @@ cfg = cfg.replace(
 )
 
 out = run_pipeline(
-    "pusher3dof", LOG, n_demos=40,
+    "cleaner", LOG, n_demos=40,
     translation_iters=3000, rl_iters=10, scale=1.0, seed=0, cfg=cfg,
     expert_npz=EXPERT,
 )

@@ -159,10 +159,18 @@ def run_pipeline(
     scale: float = 1.0,
     seed: int = 0,
     cfg: ExperimentConfig | None = None,
+    expert_npz: str | None = None,
 ):
     """The full paper pipeline at configurable scale: train oracle expert ->
     record demo videos -> train translation model -> visual-reward TRPO.
-    Pass ``cfg`` to override the task preset (model/env sizes etc.)."""
+    Pass ``cfg`` to override the task preset (model/env sizes etc.).
+
+    ``expert_npz``: skip expert training and load a saved expert instead —
+    e.g. one extracted from the reference's shipped pickles
+    (tools/extract_reference_experts.py); its ``full_state`` meta flag is
+    honored when rolling out demos (the reference's push/reach experts
+    observe the full-state obs variant, pusher3dof.py:121-134).
+    """
     from imitation_from_observation_tpu.core.checkpoint import load_pytree
     from imitation_from_observation_tpu.exp.gen_videos import generate_demo_videos
     from imitation_from_observation_tpu.exp.train_expert import train_expert
@@ -174,28 +182,44 @@ def run_pipeline(
         train=cfg.train.replace(n_iters=translation_iters, n_videos=n_demos, n_train=int(n_demos * 0.8)),
         reward=cfg.reward.replace(mode="ours", scale=scale),
     )
-    expert_path = os.path.join(log_dir, "expert")
-    expert_rl = RLConfig(
-        batch_size=min(2000, 40 * cfg.env.horizon),
-        max_path_length=cfg.env.horizon,
-        n_iters=expert_iters,
-        n_envs=20,
-        # the expert learns from the DENSE task reward: moderate exploration
-        # (init_std=10 is the sparse visual-RL setting, run_trpo_push.py:144)
-        init_std=1.0,
-        seed=seed,
-        snapshot_mode="none",
-    )
-    expert = train_expert(
-        task,
-        expert_path,
-        rl=expert_rl,
-        env_overrides=dict(horizon=cfg.env.horizon),
-        log_dir=os.path.join(log_dir, "expert_logs"),
-    )
+    demo_env_overrides: dict = {}
+    if expert_npz:
+        from imitation_from_observation_tpu.core.checkpoint import checkpoint_meta
+        from imitation_from_observation_tpu.exp.train_expert import load_expert
+
+        expert = load_expert(expert_npz)
+        meta = checkpoint_meta(expert_npz)["meta"]
+        if meta.get("full_state"):
+            demo_env_overrides["full_state"] = True
+    else:
+        expert_path = os.path.join(log_dir, "expert")
+        expert_rl = RLConfig(
+            batch_size=min(2000, 40 * cfg.env.horizon),
+            max_path_length=cfg.env.horizon,
+            n_iters=expert_iters,
+            n_envs=20,
+            # the expert learns from the DENSE task reward: moderate exploration
+            # (init_std=10 is the sparse visual-RL setting, run_trpo_push.py:144)
+            init_std=1.0,
+            seed=seed,
+            snapshot_mode="none",
+        )
+        expert = train_expert(
+            task,
+            expert_path,
+            rl=expert_rl,
+            env_overrides=dict(horizon=cfg.env.horizon),
+            log_dir=os.path.join(log_dir, "expert_logs"),
+        )
     video_dir = os.path.join(log_dir, "videos")
     generate_demo_videos(
-        task, expert, video_dir, n_demos, horizon=cfg.env.horizon, seed=seed
+        task,
+        expert,
+        video_dir,
+        n_demos,
+        horizon=cfg.env.horizon,
+        seed=seed,
+        env_overrides=demo_env_overrides or None,
     )
     trainer = run_translation_training(cfg, os.path.join(video_dir, "*.mp4"))
     # held-out demos -> reward engine demo data (reference modeldata npy)

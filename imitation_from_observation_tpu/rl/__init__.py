@@ -10,6 +10,13 @@ from imitation_from_observation_tpu.rl.erwr import ERWR
 from imitation_from_observation_tpu.rl.reps import REPS
 from imitation_from_observation_tpu.rl.ddpg import DDPG
 from imitation_from_observation_tpu.rl.evolution import CEM, CMAES
+from imitation_from_observation_tpu.rl.optimizers import (
+    FirstOrderOptimizer,
+    HessianFreeOptimizer,
+    LbfgsOptimizer,
+    PenaltyLbfgsOptimizer,
+)
+from imitation_from_observation_tpu.rl.spaces import Box, Discrete, Product
 
 
 def TNPG(policy, **kwargs):
@@ -45,4 +52,11 @@ __all__ = [
     "CMAES",
     "TNPG",
     "NOP",
+    "FirstOrderOptimizer",
+    "LbfgsOptimizer",
+    "PenaltyLbfgsOptimizer",
+    "HessianFreeOptimizer",
+    "Box",
+    "Discrete",
+    "Product",
 ]

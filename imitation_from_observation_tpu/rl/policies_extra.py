@@ -39,6 +39,9 @@ class Discrete:
         out[int(x)] = 1.0
         return out
 
+    def unflatten(self, x) -> int:
+        return int(np.argmax(x))
+
 
 class _CatNet(nn.Module):
     hidden: tuple[int, ...]

@@ -58,6 +58,12 @@ class Box:
             np.all(x >= self.low - 1e-6) and np.all(x <= self.high + 1e-6)
         )
 
+    def flatten(self, x) -> np.ndarray:
+        return np.asarray(x, np.float32).reshape(-1)
+
+    def unflatten(self, x) -> np.ndarray:
+        return np.asarray(x, np.float32).reshape(self.shape)
+
 
 class MujocoTask:
     """Base class for the task suite. Subclasses set ``ASSET`` and implement
