@@ -182,7 +182,15 @@ def run_pipeline(
         train=cfg.train.replace(n_iters=translation_iters, n_videos=n_demos, n_train=int(n_demos * 0.8)),
         reward=cfg.reward.replace(mode="ours", scale=scale),
     )
-    demo_env_overrides: dict = {}
+    # scene/camera context flows into expert training and demo recording the
+    # way the reference's launcher kwargs flowed into env._kwargs
+    # (gym_env.py:55): fixed goal/object, colors, camera pose, viewpoints
+    scene_keys = (
+        "goal", "object_pos", "geoms", "bgcolor", "armcolor",
+        "viewpoint", "view_angle", "cam_dist", "n_viewpoints",
+    )
+    scene = {k: getattr(cfg.env, k) for k in scene_keys if getattr(cfg.env, k) not in (None, 1)}
+    demo_env_overrides: dict = dict(scene)
     if expert_npz:
         from imitation_from_observation_tpu.core.checkpoint import checkpoint_meta
         from imitation_from_observation_tpu.exp.train_expert import load_expert
@@ -208,7 +216,7 @@ def run_pipeline(
             task,
             expert_path,
             rl=expert_rl,
-            env_overrides=dict(horizon=cfg.env.horizon),
+            env_overrides=dict(horizon=cfg.env.horizon, **scene),
             log_dir=os.path.join(log_dir, "expert_logs"),
         )
     video_dir = os.path.join(log_dir, "videos")

@@ -122,8 +122,11 @@ class VisualRewardEngine:
 
         @jax.jit
         def score_paths(params, x, means, mean_imgs, scale):
-            """x [P, T, V, ...] in model space; means [V, T, F];
-            mean_imgs [V, T, ...] -> costs [P, T]."""
+            """x [P, T, V, ...] in model space — or raw uint8 frames, which
+            normalize ON DEVICE (ship 1/4 the bytes over PCIe/relay);
+            means [V, T, F]; mean_imgs [V, T, ...] -> costs [P, T]."""
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 127.5 - 1.0
             P, T, V = x.shape[:3]
             flat = x.reshape(P * T * V, *x.shape[3:])
             feats = model.apply(params, flat, method="encode")
@@ -144,7 +147,11 @@ class VisualRewardEngine:
         def recon_paths(params, x, context):
             """Autoencode agent frames through their own context; pixel L2 to
             the originals (the 'recon' ablation's image term). x [P,T,V,...]
-            and context [V,...] already in model space."""
+            and context [V,...] in model space, or uint8 (normalized here)."""
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 127.5 - 1.0
+            if context.dtype == jnp.uint8:
+                context = context.astype(jnp.float32) / 127.5 - 1.0
             P, T, V = x.shape[:3]
             flat = x.reshape(P * T * V, *x.shape[3:])
             ctx = jnp.broadcast_to(context, (P, T, *context.shape)).reshape(
@@ -228,9 +235,17 @@ class VisualRewardEngine:
 
         if self.means is None:
             self._warmup(batch_u8[0, 0])  # first rollout's first rendered frame
-        means = jnp.asarray(np.stack(self.means)[:, :T])
-        mean_imgs = jnp.asarray(np.stack(self.imgs)[:, :T])
-        batch = self._frames_to_model_space(batch_u8)
+            # warmup cache lives on device; re-upload only if T changes
+            self._means_dev, self._imgs_dev, self._cache_T = None, None, -1
+        if getattr(self, "_cache_T", -1) != T:
+            self._means_dev = jnp.asarray(np.stack(self.means)[:, :T])
+            self._imgs_dev = jnp.asarray(np.stack(self.imgs)[:, :T])
+            self._cache_T = T
+        means, mean_imgs = self._means_dev, self._imgs_dev
+        # mode "ours": ship raw uint8 (4x fewer bytes over the relay/PCIe)
+        # and normalize inside the jitted scorer; the inception mode still
+        # routes frames through the host/backbone feature_fn first
+        batch = batch_u8 if self.cfg.mode == "ours" else self._frames_to_model_space(batch_u8)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
