@@ -14,6 +14,12 @@ from imitation_from_observation_tpu.sim.tasks import (
     Thrower,
 )
 
+from imitation_from_observation_tpu.sim.classic import (
+    CartpoleEnv,
+    CartpoleSwingupEnv,
+    DoublePendulumEnv,
+    MountainCarEnv,
+)
 from imitation_from_observation_tpu.sim.point_env import PointEnv
 
 ENV_REGISTRY = {
@@ -24,6 +30,10 @@ ENV_REGISTRY = {
     "thrower": Thrower,
     "pusher3dofreal": Pusher3DOFReal,
     "point": PointEnv,
+    "cartpole": CartpoleEnv,
+    "cartpole_swingup": CartpoleSwingupEnv,
+    "mountain_car": MountainCarEnv,
+    "double_pendulum": DoublePendulumEnv,
 }
 
 
