@@ -46,29 +46,48 @@ def _round_up(x: int, m: int) -> int:
 # -- fused dense + lrelu ----------------------------------------------------
 
 
-def _dense_lrelu_kernel(x_ref, w_ref, b_ref, o_ref, *, leak: float):
-    acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
-    acc = acc + b_ref[:].astype(jnp.float32)
-    o_ref[:] = jnp.maximum(acc, leak * acc).astype(o_ref.dtype)
+def _dense_lrelu_kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, leak: float, nk: int):
+    # K is the innermost (fastest) grid axis: accumulate partial products in
+    # a VMEM f32 scratch, apply bias + lrelu once on the final K step. Tiling
+    # K keeps the VMEM footprint flat for any K (the untiled version held
+    # whole [tile_m, K] / [K, tile_n] strips and OOMed scoped vmem at K=8192
+    # — the 64x64 model's conv-flatten width).
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(kk == nk - 1)
+    def _epilogue():
+        acc = acc_ref[:] + b_ref[:].astype(jnp.float32)
+        o_ref[:] = jnp.maximum(acc, leak * acc).astype(o_ref.dtype)
 
 
-def _dense_lrelu_fwd_pallas(x, w, b, leak: float, tile_m: int = 128, tile_n: int = 128):
+def _dense_lrelu_fwd_pallas(
+    x, w, b, leak: float, tile_m: int = 128, tile_n: int = 128, tile_k: int = 1024
+):
     m, k = x.shape
     n = w.shape[1]
-    mp, np_, kp = _round_up(m, tile_m), _round_up(n, tile_n), _round_up(k, 128)
+    tile_k = min(tile_k, _round_up(k, 128))
+    mp, np_, kp = _round_up(m, tile_m), _round_up(n, tile_n), _round_up(k, tile_k)
+    nk = kp // tile_k
     xp = jnp.pad(x, ((0, mp - m), (0, kp - k)))
     wp = jnp.pad(w, ((0, kp - k), (0, np_ - n)))
     bp = jnp.pad(b, (0, np_ - n)).reshape(1, np_)
     out = pl.pallas_call(
-        functools.partial(_dense_lrelu_kernel, leak=leak),
-        grid=(mp // tile_m, np_ // tile_n),
+        functools.partial(_dense_lrelu_kernel, leak=leak, nk=nk),
+        grid=(mp // tile_m, np_ // tile_n, nk),
         in_specs=[
-            pl.BlockSpec((tile_m, kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, tile_k), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, tile_n), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kp, bytes_accessed=(mp * kp + kp * np_ + mp * np_) * 4, transcendentals=0
         ),
