@@ -36,6 +36,11 @@ ENV_REGISTRY = {
     "double_pendulum": DoublePendulumEnv,
 }
 
+# cheap non-MuJoCo test/example envs (dense reward, no frames) — everything
+# else follows the visual-imitation task contract (reward 0 until the final
+# step, reward_true in info, odd-step frames)
+TEST_ENVS = {"point", "cartpole", "cartpole_swingup", "mountain_car", "double_pendulum"}
+
 
 def make_env(name: str | None = None, config: EnvConfig | None = None):
     config = config or EnvConfig(name=name or "pusher3dof")

@@ -7,8 +7,11 @@ import pytest
 
 from imitation_from_observation_tpu.core.config import EnvConfig
 from imitation_from_observation_tpu.sim import ENV_REGISTRY, NormalizedEnv, VecEnv, make_env
+from imitation_from_observation_tpu.sim.registry import TEST_ENVS
 
-ALL = sorted(set(ENV_REGISTRY) - {"point"})  # point: non-mujoco example env
+# task envs only — TEST_ENVS (point + classic control) are dense-reward
+# test envs outside the visual-imitation contract (covered in test_classic)
+ALL = sorted(set(ENV_REGISTRY) - TEST_ENVS)
 
 
 @pytest.mark.parametrize("name", ALL)
