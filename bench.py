@@ -1,6 +1,6 @@
 """Headline benchmark, covering BASELINE.json's metric set.
 
-One JSON line with three measurements:
+One JSON line with four measurements:
 
 - ``translated_frames_per_sec_per_chip`` (headline ``value``): the visual
   reward engine's hot inference path (rllab/sampler/base.py:195-257) —
@@ -13,6 +13,10 @@ One JSON line with three measurements:
   (80 paths x 51 steps, 25 scored 48x48 frames each, 30 held-out demos,
   mode 'ours'), divided by total env steps — BASELINE.json's "reward-eval
   latency per rollout step".
+- ``train_steps_per_sec``: fused Adam training steps/sec at the reference's
+  translation-training shape (ContextSkip 48x48, batch 100 —
+  train_script.py:128,163), i.e. the wall rate of the reference's
+  100k-iteration job.
 - ``frame_psnr_parity_db``: PSNR between the flax ContextSkip forward and
   the independent torch oracle (TF1 conv/deconv semantics) with identical
   weights on a fixed input batch — BASELINE.json's "frame PSNR parity"
@@ -146,6 +150,53 @@ def measure_reward_latency(
     return dt / (n_paths * horizon) * 1e3
 
 
+def measure_train_throughput(
+    hw: int = 48, batch: int = 100, n_videos: int = 40, steps: int = 300
+) -> float:
+    """Fused-training steps/sec at the reference's shape (ContextSkip 48x48,
+    batch 100, Adam — train_script.py:128,163): the wall rate of the
+    reference's 100k-iteration translation job."""
+    import numpy as np
+
+    from imitation_from_observation_tpu.core.config import (
+        TrainConfig,
+        TranslationModelConfig,
+    )
+    from imitation_from_observation_tpu.train import TranslationTrainer
+
+    rng = np.random.default_rng(0)
+    vdata = rng.uniform(-1, 1, (26, n_videos, hw, hw, 3)).astype(np.float32)
+    cfg = TrainConfig(
+        batch_size=batch,
+        n_iters=steps,
+        n_train=int(0.8 * n_videos),
+        eval_every=10**9,
+        save_every=10**9,
+        log_every=10**9,
+        steps_per_call=50,
+    )
+    trainer = TranslationTrainer(
+        TranslationModelConfig(model="context_skip", image_size=(hw, hw)), cfg, vdata
+    )
+
+    def drain():
+        # the fused calls dispatch asynchronously and block_until_ready is
+        # unreliable on the axon relay — fence with a real scalar fetch
+        import jax
+
+        leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+        float(leaf.ravel()[0])
+
+    trainer.train(50)  # first trace/compile
+    trainer.train(50)  # second trace (donated/weak-type variant)
+    drain()
+    t0 = time.perf_counter()
+    trainer.train(steps)
+    drain()
+    dt = time.perf_counter() - t0
+    return steps / dt
+
+
 def measure_psnr_parity(hw: int = 48, batch: int = 4) -> float | None:
     """PSNR (dB) of the flax ContextSkip forward vs the torch TF1-semantics
     oracle with identical weights. None if the oracle is unavailable."""
@@ -193,6 +244,10 @@ def main() -> None:
         reward_ms = round(measure_reward_latency(), 4)
     except Exception:
         reward_ms = None
+    try:
+        train_sps = round(measure_train_throughput(), 1)
+    except Exception:
+        train_sps = None
     psnr = measure_psnr_parity()
     print(
         json.dumps(
@@ -202,6 +257,7 @@ def main() -> None:
                 "unit": "frames/s",
                 "vs_baseline": round(vs, 2),
                 "reward_eval_latency_ms_per_step": reward_ms,
+                "train_steps_per_sec": train_sps,
                 "frame_psnr_parity_db": psnr,
             }
         )

@@ -113,8 +113,14 @@ class TranslationTrainer:
         params = self.model.init(rngs, sample, sample, sample)
         opt_state = self.tx.init(params)
         rep = replicated(self.mesh)
-        params, opt_state = jax.device_put((params, opt_state), rep)
-        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        # step must carry the same replicated sharding as the rest of the
+        # state: an unsharded scalar here makes the fused step's SECOND call
+        # recompile (~27 s on TPU) because the returned state comes back
+        # NamedSharding-annotated while the initial one was unspecified
+        params, opt_state, step = jax.device_put(
+            (params, opt_state, jnp.zeros((), jnp.int32)), rep
+        )
+        return TrainState(params, opt_state, step)
 
     def _loss_fn(self, params, src, ctx, tgt, dropout_key):
         kwargs = {}
