@@ -207,6 +207,14 @@ class MujocoTask:
         """
         mujoco.mj_forward(self.model, self.data)
         renderer = self._get_renderer()
+        # mujoco.Renderer makes its EGL context current only at creation;
+        # the native batched renderer (sim/native/mjbatch.cpp) binds ITS
+        # context on the same thread, after which an un-rebound python
+        # renderer dies inside mjr ("Default framebuffer is not complete",
+        # mju_error -> exit(1)). Re-bind before every render.
+        ctx = getattr(renderer, "_gl_context", None)
+        if ctx is not None:
+            ctx.make_current()
         cam = mujoco.MjvCamera()
         lookat, dist, elev, az = self.camera_pose(vp)
         cam.lookat[:] = lookat

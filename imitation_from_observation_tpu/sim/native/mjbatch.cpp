@@ -297,6 +297,11 @@ int mjb_render_setup(void* handle, int width, int height, int fast) {
   auto* p = static_cast<Pool*>(handle);
   if (p->render_ready) return 0;
   if (!egl_init()) return -1;
+  // egl_init only binds on FIRST init; python mujoco.Renderer instances
+  // bind their own contexts (and unbind on close) in between, and
+  // mjr_makeContext with no current context dies in mju_error ("Default
+  // framebuffer is not complete, error 0x0") — rebind ours explicitly.
+  egl_make_current();
   p->rw = width;
   p->rh = height;
   p->fast = fast != 0;

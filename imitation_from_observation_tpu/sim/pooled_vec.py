@@ -41,18 +41,30 @@ def _unwrap(env):
     return env
 
 
-def native_render_available() -> bool:
-    """True if the native pool + an EGL device display can be created."""
-    try:
-        from imitation_from_observation_tpu.sim.base import _ASSET_DIR
-        from imitation_from_observation_tpu.sim.native.mjbatch_binding import NativeBatchSim
+_NATIVE_OK: bool | None = None
 
-        pool = NativeBatchSim(os.path.join(_ASSET_DIR, "reacher3dof.xml"), 1)
-        pool.render_setup(16, 16, fast=True)
-        pool.close()
-        return True
-    except Exception:
-        return False
+
+def native_render_available() -> bool:
+    """True if the native pool + an EGL device display can be created.
+
+    Cached per process: the probe allocates and frees a GL render context,
+    and llvmpipe tolerates only a bounded number of create/destroy cycles
+    before a later ``mjr_makeContext`` segfaults — probing once instead of
+    once per ``make_vec_env`` keeps long test/pipeline processes stable.
+    """
+    global _NATIVE_OK
+    if _NATIVE_OK is None:
+        try:
+            from imitation_from_observation_tpu.sim.base import _ASSET_DIR
+            from imitation_from_observation_tpu.sim.native.mjbatch_binding import NativeBatchSim
+
+            pool = NativeBatchSim(os.path.join(_ASSET_DIR, "reacher3dof.xml"), 1)
+            pool.render_setup(16, 16, fast=True)
+            pool.close()
+            _NATIVE_OK = True
+        except Exception:
+            _NATIVE_OK = False
+    return _NATIVE_OK
 
 
 class NativeFrameVecEnv(VecEnv):
