@@ -20,7 +20,8 @@ One JSON line with four measurements:
 - ``frame_psnr_parity_db``: PSNR between the flax ContextSkip forward and
   the independent torch oracle (TF1 conv/deconv semantics) with identical
   weights on a fixed input batch — BASELINE.json's "frame PSNR parity"
-  (computed on CPU; inf-safe capped at 99 dB).
+  (flax side runs on the default backend, torch oracle on host CPU;
+  inf-safe capped at 99 dB).
 
 ``vs_baseline`` is the headline fps over the single-core CPU reference point
 cached in ``BENCH_BASELINE_CPU.json``. The cache was measured with the
@@ -205,7 +206,8 @@ def measure_psnr_parity(hw: int = 48, batch: int = 4) -> float | None:
         from oracle_contextskip import psnr_vs_oracle
 
         return psnr_vs_oracle(hw=hw, batch=batch)
-    except Exception:
+    except Exception as e:  # a null metric must still say WHY on stderr
+        print(f"psnr parity unavailable: {type(e).__name__}: {e}", file=sys.stderr)
         return None
 
 

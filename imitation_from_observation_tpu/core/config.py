@@ -50,6 +50,13 @@ class TranslationModelConfig(_Base):
     kernels: tuple[int, ...] = (3, 3, 3, 3)
     filters: tuple[int, ...] = (1024, 1024, 512, 512)
     dropout_rate: float = 0.5  # context_small only (1 - keep_prob)
+    # context_ae_inception (zoo feature-map model) knobs; None = the
+    # reference defaults (8x8 Mixed_7c maps, 2048 channels, df_dim 256 —
+    # arm_shaping.py:1686-1694). Explicit so pixel-model fields keep their
+    # literal meaning (no sentinel reuse of image_size/channels/base_filters).
+    feature_hw: tuple[int, int] | None = None
+    feature_channels: int | None = None
+    feature_filters: int | None = None
     sim_weight: float = 1e3  # simloss multiplier (arm_shaping.py:1345)
     loss_ablation: str = "none"  # none | L2 | L2L3 | L1 (ablations.py:175-182)
     dtype: str = "bfloat16"  # compute dtype on TPU; params are float32

@@ -187,9 +187,11 @@ def run_pipeline(
     # (gym_env.py:55): fixed goal/object, colors, camera pose, viewpoints
     scene_keys = (
         "goal", "object_pos", "geoms", "bgcolor", "armcolor",
-        "viewpoint", "view_angle", "cam_dist", "n_viewpoints",
+        "viewpoint", "view_angle", "cam_dist",
     )
-    scene = {k: getattr(cfg.env, k) for k in scene_keys if getattr(cfg.env, k) not in (None, 1)}
+    scene = {k: getattr(cfg.env, k) for k in scene_keys if getattr(cfg.env, k) is not None}
+    if cfg.env.n_viewpoints != 1:  # nvp default; 1 means "unset" for demos
+        scene["n_viewpoints"] = cfg.env.n_viewpoints
     demo_env_overrides: dict = dict(scene)
     if expert_npz:
         from imitation_from_observation_tpu.core.checkpoint import checkpoint_meta

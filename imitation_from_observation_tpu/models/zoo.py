@@ -70,13 +70,14 @@ def _register_variants() -> None:
         @register(name)
         def _build(cfg: TranslationModelConfig, _cls=cls):
             if _cls is ContextAEInceptionVariant:
-                # feature-map model: df_dim defaults to 256 (:1687); spatial
-                # dims/channels come from the backbone feature maps
+                # feature-map model: dedicated config fields, reference
+                # defaults when unset (df_dim 256, 8x8x2048 Mixed_7c maps,
+                # arm_shaping.py:1686-1694)
                 return _cls(
-                    base_filters=cfg.base_filters if cfg.base_filters != 64 else 256,
+                    base_filters=cfg.feature_filters or 256,
                     feat_size=cfg.feat_size,
-                    feature_hw=tuple(cfg.image_size) if max(cfg.image_size) <= 16 else (8, 8),
-                    feature_channels=cfg.channels if cfg.channels != 3 else 2048,
+                    feature_hw=tuple(cfg.feature_hw) if cfg.feature_hw else (8, 8),
+                    feature_channels=cfg.feature_channels or 2048,
                 )
             kwargs = dict(
                 base_filters=cfg.base_filters,

@@ -253,11 +253,15 @@ def _l2(x):
 
 def _block_simloss(z, scale_by_var: bool, per_term_div3: bool):
     """Temporal-block latent similarity (ContextNoBNAE:727-733, ContextRes:
-    994-1000): the batch is laid out as 4 time-aligned videos x B/4 frames;
-    adjacent videos' latents are pulled together, optionally normalized by
-    the mean latent variance. The reference hardcoded block=25 (batch 100);
-    here block = batch//4."""
+    994-1000): adjacent fourths of the batch's latents are pulled together,
+    optionally normalized by the mean latent variance. The reference
+    hardcoded block=25 over train_script's random-video batches (each row an
+    independent video at frame i%nlen — the blocks were NOT aligned videos
+    there either; quirk kept); here block = batch//4. Batches smaller than 4
+    contribute 0 (the reference would have sliced out of range)."""
     z = z.astype(jnp.float32)
+    if z.shape[0] < 4:
+        return jnp.float32(0.0)
     block = z.shape[0] // 4
     sim = 0.0
     for j in range(3):

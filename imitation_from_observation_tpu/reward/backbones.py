@@ -72,12 +72,14 @@ def compute_expert_feature_stats(
 
 def classify_sanity_check(params, image_u8, top_k: int = 20):
     """The reference's startup sanity check: classify an image and report the
-    top logits (the 'bird.jpg' check at base.py:86-89)."""
+    top class ids and their logits (the 'bird.jpg' check at base.py:86-89)."""
     import numpy as np
 
     model = InceptionV3()
     logits, _ = model.apply(params, preprocess_uint8(jnp.asarray(image_u8[None])))
-    return np.argsort(np.asarray(logits)[0])[-top_k:]
+    logits = np.asarray(logits)[0]
+    top = np.argsort(logits)[-top_k:]
+    return top, logits[top]
 
 
 def restore_sanity_check(npz_path: str, image_u8=None, top_k: int = 5):
@@ -96,8 +98,7 @@ def restore_sanity_check(npz_path: str, image_u8=None, top_k: int = 5):
     if image_u8 is None:
         g = np.linspace(0, 255, 299, dtype=np.uint8)
         image_u8 = np.stack(np.broadcast_arrays(g[:, None], g[None, :], g[:, None]), -1)
-    top = classify_sanity_check(params, np.asarray(image_u8, np.uint8), top_k=top_k)
-    logits_finite = np.all(np.isfinite(top))
-    if not logits_finite:
+    top, top_logits = classify_sanity_check(params, np.asarray(image_u8, np.uint8), top_k=top_k)
+    if not np.all(np.isfinite(top_logits)):
         raise ValueError("restored backbone produced non-finite logits")
     return top

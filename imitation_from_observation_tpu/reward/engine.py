@@ -101,11 +101,6 @@ class VisualRewardEngine:
     def _build_jits(self) -> None:
         model = self.model
 
-        @jax.jit
-        def translate_chunk(params, src, ctx):
-            """src [B,H,W,C] in [-1,1]; ctx [B,H,W,C]; -> (z [B,F], out)."""
-            return model.apply(params, src, ctx, method="translate")
-
         if hasattr(model, "translate_one_ctx"):
             # warmup fast path: one shared agent context per viewpoint —
             # encode it ONCE per chunk instead of once per demo frame
@@ -162,7 +157,6 @@ class VisualRewardEngine:
             err = jnp.sum((out - flat) ** 2, axis=pix_axes).reshape(P, T, V)
             return jnp.sum(err, axis=-1)
 
-        self._translate_chunk = translate_chunk
         self._translate_chunk_ctx1 = translate_chunk_ctx1
         self._score_paths = score_paths
         self._recon_paths = recon_paths

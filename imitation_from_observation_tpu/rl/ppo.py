@@ -76,7 +76,9 @@ class PPO:
             },
         )
         p, info = self._opt.optimize(flat_params, inputs)
-        if np.all(np.isfinite(np.asarray(p))):
+        # reference penalty_lbfgs_optimizer accepted a step only with a
+        # finite loss; keep that plus a finite-params guard
+        if np.isfinite(info["LossAfter"]) and np.all(np.isfinite(np.asarray(p))):
             self.policy.params = self._unravel(p)
         return dict(
             LossBefore=info["LossBefore"],

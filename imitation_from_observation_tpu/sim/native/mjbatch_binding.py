@@ -122,7 +122,20 @@ class NativeBatchSim:
         self._lib.mjb_sync_geoms(self._pool, i, rp, pp)
 
     def render_setup(self, width: int, height: int, fast: bool = True) -> None:
-        """Create the shared EGL + mjr context for this pool (idempotent)."""
+        """Create the shared EGL + mjr context for this pool (idempotent).
+
+        The C side keeps the first framebuffer size (mjb_render_setup
+        early-returns once ready), so a repeat call with a DIFFERENT size
+        must fail loudly — silently updating ``_render_hw`` would make
+        ``render()`` allocate an output smaller than the C side writes.
+        """
+        if getattr(self, "_render_hw", None) is not None:
+            if self._render_hw != (height, width):
+                raise ValueError(
+                    f"render_setup already done at {self._render_hw}; "
+                    f"cannot resize to {(height, width)} — create a new pool"
+                )
+            return
         rc = self._lib.mjb_render_setup(self._pool, width, height, int(fast))
         if rc != 0:
             raise RuntimeError(f"mjb_render_setup: {self._lib.mjb_last_error().decode()}")
