@@ -149,6 +149,23 @@ def run_visual_trpo(
     return policy, history
 
 
+def scene_overrides(env_cfg: EnvConfig) -> dict:
+    """Scene/camera context that must flow into expert training and demo
+    recording the way the reference's launcher kwargs flowed into
+    ``env._kwargs`` (gym_env.py:55): fixed goal/object, colors, camera pose,
+    viewpoints. Only ``None`` means unset — literal values like
+    ``cam_dist=1.0`` must survive; ``n_viewpoints`` is excluded only at its
+    default of 1."""
+    keys = (
+        "goal", "object_pos", "geoms", "bgcolor", "armcolor",
+        "viewpoint", "view_angle", "cam_dist",
+    )
+    scene = {k: getattr(env_cfg, k) for k in keys if getattr(env_cfg, k) is not None}
+    if env_cfg.n_viewpoints != 1:
+        scene["n_viewpoints"] = env_cfg.n_viewpoints
+    return scene
+
+
 def run_pipeline(
     task: str,
     log_dir: str,
@@ -182,16 +199,7 @@ def run_pipeline(
         train=cfg.train.replace(n_iters=translation_iters, n_videos=n_demos, n_train=int(n_demos * 0.8)),
         reward=cfg.reward.replace(mode="ours", scale=scale),
     )
-    # scene/camera context flows into expert training and demo recording the
-    # way the reference's launcher kwargs flowed into env._kwargs
-    # (gym_env.py:55): fixed goal/object, colors, camera pose, viewpoints
-    scene_keys = (
-        "goal", "object_pos", "geoms", "bgcolor", "armcolor",
-        "viewpoint", "view_angle", "cam_dist",
-    )
-    scene = {k: getattr(cfg.env, k) for k in scene_keys if getattr(cfg.env, k) is not None}
-    if cfg.env.n_viewpoints != 1:  # nvp default; 1 means "unset" for demos
-        scene["n_viewpoints"] = cfg.env.n_viewpoints
+    scene = scene_overrides(cfg.env)
     demo_env_overrides: dict = dict(scene)
     if expert_npz:
         from imitation_from_observation_tpu.core.checkpoint import checkpoint_meta

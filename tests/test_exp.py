@@ -206,3 +206,23 @@ def test_run_visual_trpo_resume(tmp_path):
         np.asarray(policy.params["log_std"]), np.asarray(donor.params["log_std"])
     )
     assert history == []
+
+
+def test_scene_overrides_propagation():
+    """Scene/camera config must reach expert/demo envs; only None is unset
+    (a cam_dist/viewpoint literally equal to 1 must survive — regression for
+    the `not in (None, 1)` filter bug)."""
+    from imitation_from_observation_tpu.core.config import EnvConfig
+    from imitation_from_observation_tpu.exp.launchers import scene_overrides
+
+    env = EnvConfig(
+        name="pusher3dofreal", cam_dist=1.0, viewpoint=1.0, view_angle=1,
+        goal=(0.1, 0.2), object_pos=(0.0, 0.0),
+    )
+    scene = scene_overrides(env)
+    assert scene == dict(
+        cam_dist=1.0, viewpoint=1.0, view_angle=1, goal=(0.1, 0.2), object_pos=(0.0, 0.0)
+    )
+    assert "n_viewpoints" not in scene  # default 1 means unset
+    assert scene_overrides(EnvConfig(name="reacher3dof")) == {}
+    assert scene_overrides(EnvConfig(name="striker", n_viewpoints=2)) == {"n_viewpoints": 2}
