@@ -172,6 +172,13 @@ class RLConfig(_Base):
     seed: int = 123
     snapshot_mode: str = "last"  # all | last | gap | none
     snapshot_gap: int = 1
+    # paper-facing SuccessRate threshold on per-rollout ReturnTrue
+    # (notebooks/plots.ipynb cell 25: -0.5 default, -0.55 for sweep)
+    success_threshold: float = -0.5
+    # report/return the argmax-ReturnTrue iterate instead of the last one —
+    # the reference's plots read across per-iteration snapshots
+    # (rllab/misc/logger.py:216-228 + plots notebook)
+    use_best_iterate: bool = True
 
 
 @dataclass(frozen=True)
@@ -199,7 +206,10 @@ TASK_PRESETS: dict[str, dict[str, Any]] = {
     "push": dict(env="pusher3dof", image_size=(48, 48), model="context_skip", skip=1),
     "strike": dict(env="striker", image_size=(64, 64), model="context_skip", skip=1),
     "throw": dict(env="thrower", image_size=(64, 64), model="context_skip", skip=1),
-    "sweep": dict(env="cleaner", image_size=(36, 64), model="context_small", skip=2),
+    "sweep": dict(
+        env="cleaner", image_size=(36, 64), model="context_small", skip=2,
+        success_threshold=-0.55,
+    ),
     "real": dict(env="pusher3dofreal", image_size=(36, 64), model="context_small", skip=2),
     "strike_inception": dict(
         env="striker", image_size=(299, 299), model="context_feat", skip=2
@@ -217,5 +227,6 @@ def preset(task: str) -> ExperimentConfig:
         name=task,
         env=EnvConfig(name=p["env"], image_size=p["image_size"], render_size=render_size),
         reward=RewardConfig(skip=p["skip"]),
+        rl=RLConfig(success_threshold=p.get("success_threshold", -0.5)),
         model=TranslationModelConfig(model=p["model"], image_size=p["image_size"]),
     )

@@ -146,6 +146,17 @@ def run_visual_trpo(
     )
     history = algo.train()
     vec.close()
+    if cfg.rl.use_best_iterate and algo.best is not None:
+        # report/return the argmax-ReturnTrue iterate, the reference's
+        # protocol across per-iteration snapshots (plots notebook)
+        from imitation_from_observation_tpu.core.checkpoint import load_pytree
+        from imitation_from_observation_tpu.core.log import get_logger
+
+        policy.params = load_pytree(algo.best["path"], policy.params)
+        get_logger().log(
+            f"best iterate: itr {algo.best['itr']} "
+            f"ReturnTrue {algo.best['ReturnTrue']:.4f} (policy restored)"
+        )
     return policy, history
 
 

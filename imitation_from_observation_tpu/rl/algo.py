@@ -44,6 +44,9 @@ class BatchPolopt:
         )
         self.record_video_every = record_video_every
         self._video_dir = (log_dir or "data") + "/videos"
+        # best-iterate tracking (the reference's protocol reported across
+        # per-iteration snapshots, rllab/misc/logger.py:216-228 + plots nb)
+        self.best: dict | None = None  # {"itr", "ReturnTrue", "path"}
 
     def train(self, n_iters: int | None = None) -> list[dict[str, float]]:
         history = []
@@ -62,20 +65,44 @@ class BatchPolopt:
                         self.cfg.gae_lambda,
                         self.cfg.center_adv,
                         self.cfg.positive_adv,
+                        self.cfg.success_threshold,
                     )
+                # the iteration's diagnostics (ReturnTrue et al) were earned
+                # by the PRE-update policy — snapshot those params for
+                # best-iterate selection before optimizing
+                pre_params = self.policy.params
                 with self.log.timed("Optimize"):
                     opt_diag = self.optimizer.optimize(samples)
                 self.snapshots.save(itr, self.policy.params, meta={"itr": itr})
+                self._track_best(itr, samples["diagnostics"], pre_params)
                 if self.record_video_every and itr % self.record_video_every == 0:
                     self._record_eval_video(itr)
                 row = dict(Iteration=itr)
                 row.update(samples["diagnostics"])
                 row.update(opt_diag)
                 row.update(timings)
+                if self.best is not None:
+                    row["BestReturnTrue"] = self.best["ReturnTrue"]
+                    row["BestIteration"] = self.best["itr"]
                 for k, v in row.items():
                     self.log.record_tabular(k, v)
                 history.append(self.log.dump_tabular())
         return history
+
+    def _track_best(self, itr: int, diagnostics: dict, params) -> None:
+        """Keep a ``best`` snapshot of the argmax-ReturnTrue iterate (the
+        reference's plots notebook read the best across itr_N.pkl snapshots)."""
+        rt = diagnostics.get("ReturnTrue")
+        if rt is None:
+            return
+        if self.best is None or rt > self.best["ReturnTrue"]:
+            from imitation_from_observation_tpu.core.checkpoint import save_pytree
+
+            import os
+
+            path = os.path.join(self.snapshots.directory, "best")
+            save_pytree(path, params, step=itr, meta={"itr": itr, "ReturnTrue": rt})
+            self.best = {"itr": itr, "ReturnTrue": rt, "path": path}
 
     def _record_eval_video(self, itr: int) -> None:
         """Record one evaluation rollout as mp4 (the gym monitor's periodic

@@ -40,6 +40,7 @@ def process_paths(
     gae_lambda: float = 1.0,
     center_adv: bool = True,
     positive_adv: bool = False,
+    success_threshold: float | None = -0.5,
 ) -> dict[str, Any]:
     baselines, returns = [], []
     all_path_baselines = [baseline.predict(p) for p in paths]
@@ -95,6 +96,13 @@ def process_paths(
             MaxTrue=float(np.max(trues)),
             ArgmaxTrueReturn=trues[int(np.argmax(undiscounted_returns))],
         )
+        if success_threshold is not None:
+            # the reference's paper-facing Success Rate (notebooks/plots.ipynb
+            # cell 25: success iff ReturnTrue > thresh; -0.5 default, -0.55
+            # for sweep) computed per rollout instead of per seed
+            diagnostics["SuccessRate"] = float(
+                np.mean([t > success_threshold for t in trues])
+            )
 
     baseline.fit(paths)
     return samples | {"diagnostics": diagnostics}

@@ -129,8 +129,71 @@ def test_process_paths_diagnostics():
     d = samples["diagnostics"]
     np.testing.assert_allclose(d["AverageReturn"], 5.0)
     np.testing.assert_allclose(d["ReturnTrue"], 0.5)
+    # all three paths end at ReturnTrue 0.5 > -0.5 threshold -> success
+    np.testing.assert_allclose(d["SuccessRate"], 1.0)
     # centered advantages
     np.testing.assert_allclose(samples["advantages"].mean(), 0, atol=1e-6)
+
+
+def test_success_rate_threshold():
+    def path(rt):
+        return dict(
+            observations=np.zeros((3, 2), np.float32),
+            actions=np.zeros((3, 2), np.float32),
+            rewards=np.zeros(3),
+            env_infos={"reward_true": np.array([0, 0, rt])},
+            agent_infos={"mean": np.zeros((3, 2)), "log_std": np.zeros((3, 2))},
+        )
+
+    # per-rollout success iff ReturnTrue > threshold (plots.ipynb cell 25)
+    samples = process_paths(
+        [path(-0.2), path(-0.6), path(-0.4), path(-0.9)],
+        LinearFeatureBaseline(),
+        success_threshold=-0.5,
+    )
+    np.testing.assert_allclose(samples["diagnostics"]["SuccessRate"], 0.5)
+    samples = process_paths(
+        [path(-0.52), path(-0.6)], LinearFeatureBaseline(), success_threshold=-0.55
+    )
+    np.testing.assert_allclose(samples["diagnostics"]["SuccessRate"], 0.5)
+
+
+def test_best_iterate_snapshot(tmp_path):
+    """BatchPolopt keeps a `best` snapshot of the PRE-update params at the
+    argmax-ReturnTrue iteration."""
+    import jax.numpy as jnp
+
+    from imitation_from_observation_tpu.core.checkpoint import checkpoint_meta, load_pytree
+
+    class _TrueRewardVec(_VecPoint):
+        def step(self, actions):
+            obs, rewards, dones, infos = super().step(actions)
+            for i, info in enumerate(infos):
+                info["reward_true"] = rewards[i]
+            return obs, rewards, dones, infos
+
+    vec = _TrueRewardVec(5, seed=0)
+    pol = GaussianMLPPolicy(obs_dim=2, action_dim=2, hidden=(8,), init_std=1.0, seed=0)
+    cfg = RLConfig(batch_size=100, max_path_length=10, n_iters=4, snapshot_mode="none")
+    algo = BatchPolopt(
+        vec, pol, LinearFeatureBaseline(), TRPO(pol, step_size=0.05), cfg,
+        log_dir=str(tmp_path),
+    )
+    history = algo.train()
+    assert algo.best is not None
+    best_rows = [h for h in history if h["Iteration"] == algo.best["itr"]]
+    assert best_rows and best_rows[0]["ReturnTrue"] == algo.best["ReturnTrue"]
+    assert algo.best["ReturnTrue"] == max(h["ReturnTrue"] for h in history)
+    assert history[-1]["BestReturnTrue"] == algo.best["ReturnTrue"]
+    meta = checkpoint_meta(algo.best["path"])
+    assert meta["meta"]["itr"] == algo.best["itr"]
+    restored = load_pytree(algo.best["path"], pol.params)
+    assert all(
+        jnp.asarray(a).shape == jnp.asarray(b).shape
+        for a, b in zip(
+            jax.tree_util.tree_leaves(restored), jax.tree_util.tree_leaves(pol.params)
+        )
+    )
 
 
 def test_truncate_paths():
