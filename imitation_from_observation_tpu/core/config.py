@@ -120,6 +120,16 @@ class EnvConfig(_Base):
     # scene content (geoms/colors/camera) either way. "full" keeps MuJoCo
     # defaults (closest to the reference's GLFW viewer output).
     render_quality: str = "fast"  # fast | full
+    # rollout/frames backend for the RL + demo legs:
+    #   "auto"   — python task logic + native batched EGL rendering (the
+    #              round-2 default; bit-parity with the python renderer)
+    #   "tpu"    — fully-native vectorized stepping (sim/native_tasks.py)
+    #              with the on-device raycast renderer (sim/raycast.py):
+    #              frames are born on the accelerator, EnvExecTime drops
+    #              ~10x at reference scale
+    #   "native" — fully-native stepping with EGL frames
+    #   "python" — per-env python stepping + rendering
+    frame_backend: str = "auto"
     # emit the task's shaped distance reward instead of 0 — used to train
     # oracle experts for demo generation (the visual-imitation loop always
     # runs with 0 native reward, like the reference envs)

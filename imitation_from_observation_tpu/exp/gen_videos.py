@@ -37,6 +37,93 @@ def record_rollout(env, policy, horizon: int, rng: RngStream, record_size=(500, 
     return np.stack(frames), total_true
 
 
+def generate_demo_videos_vec(
+    task: str,
+    policy,
+    out_dir: str,
+    n_videos: int,
+    horizon: int = 50,
+    env_overrides: dict | None = None,
+    seed: int = 0,
+    n_envs: int = 50,
+    frame_backend: str = "tpu",
+    min_true_reward: float | None = None,
+) -> list[str]:
+    """Batched demo recording on the native vectorized envs: N episodes run
+    in lockstep, every step of all envs rendered in one batched call (the
+    on-device raycast renderer by default), one mp4 per episode.
+
+    Replaces the one-env-per-video loop (reference gen_videos.py:34-45) for
+    large demo counts — 2,000+ videos in minutes instead of hours. Each
+    episode gets a fresh context AND fresh camera azimuths (the reference
+    made a new env per video, so viewpoints resample per episode).
+    """
+    import json
+
+    from imitation_from_observation_tpu.core.config import EnvConfig
+    from imitation_from_observation_tpu.sim import make_native_vec
+
+    log = get_logger()
+    os.makedirs(out_dir, exist_ok=True)
+    rng = RngStream(seed)
+    env_kw = dict(render_frames=True, horizon=horizon, seed=seed)
+    env_kw.update(env_overrides or {})
+    cfg = EnvConfig(name=task, **env_kw)
+    vec = make_native_vec(
+        task,
+        n_envs,
+        cfg,
+        max_path_length=horizon,
+        frame_backend=frame_backend,
+        frames_mode="all",
+        resample_cameras=True,
+    )
+    written, trues = [], []
+    i = 0
+    rounds = 0
+    max_rounds = 10 * ((n_videos + n_envs - 1) // n_envs)
+    while len(written) < n_videos and rounds < max_rounds:
+        rounds += 1
+        obs = vec.reset()
+        frames = [vec.render_frames()[:, 0]]  # initial frame (51-frame demos)
+        ep_true = np.zeros(n_envs)
+        for _ in range(horizon):
+            actions, _ = policy.get_actions(obs, rng.next())
+            obs, _, _, infos = vec.step(actions)
+            frames.append(np.stack([inf["frames"][0] for inf in infos]))
+            ep_true += [inf["reward_true"] for inf in infos]
+        clips = np.stack(frames, 1)  # [n_envs, horizon+1, H, W, 3]
+        for e in range(n_envs):
+            if len(written) >= n_videos:
+                break
+            if min_true_reward is not None and ep_true[e] < min_true_reward:
+                continue
+            path = os.path.join(out_dir, f"video{i:05d}.mp4")
+            write_mp4(path, clips[e])
+            written.append(path)
+            trues.append(float(ep_true[e]))
+            i += 1
+        log.log(
+            f"recorded {len(written)}/{n_videos} demos "
+            f"(mean reward_true {np.mean(trues):.3f})"
+        )
+    vec.close()
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(
+            dict(
+                task=task,
+                n_videos=len(written),
+                horizon=horizon,
+                episode_true_rewards=trues,
+                videos=[os.path.basename(p) for p in written],
+            ),
+            f,
+            indent=1,
+        )
+    log.log(f"done: {len(written)} demos, mean reward_true {np.mean(trues) if trues else 0:.3f}")
+    return written
+
+
 def generate_demo_videos(
     task: str,
     policy,

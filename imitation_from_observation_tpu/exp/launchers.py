@@ -62,6 +62,18 @@ def run_translation_training(cfg: ExperimentConfig, video_glob: str, vdata=None)
 
 def _vec_env(cfg: ExperimentConfig, render: bool):
     env_kw = cfg.env.replace(render_frames=render)
+    if cfg.env.frame_backend in ("tpu", "native"):
+        # fully-native vectorized stepping (normalized actions built in);
+        # frames from the on-device raycast renderer ("tpu") or shared EGL
+        from imitation_from_observation_tpu.sim import make_native_vec
+
+        return make_native_vec(
+            cfg.env.name,
+            cfg.rl.n_envs,
+            env_kw.replace(seed=cfg.rl.seed),
+            max_path_length=cfg.rl.max_path_length,
+            frame_backend="tpu" if cfg.env.frame_backend == "tpu" else "egl",
+        )
 
     def mk(i):
         return lambda: NormalizedEnv(make_env(cfg.env.name, env_kw.replace(seed=cfg.rl.seed + i)))
@@ -70,6 +82,7 @@ def _vec_env(cfg: ExperimentConfig, render: bool):
         [mk(i) for i in range(cfg.rl.n_envs)],
         max_path_length=cfg.rl.max_path_length,
         render_frames=render,
+        backend="python" if cfg.env.frame_backend == "python" else "auto",
     )
 
 
@@ -117,6 +130,9 @@ def run_visual_trpo(
 
     from imitation_from_observation_tpu.parallel import make_mesh
 
+    # multi-chip: shard BOTH reward scoring and the TRPO update over the
+    # mesh's data axis (params replicated, psum over ICI)
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
     engine = VisualRewardEngine(
         cfg.reward,
         cfg.model,
@@ -124,8 +140,7 @@ def run_visual_trpo(
         demo_data=demo_data,
         n_viewpoints=cfg.env.n_viewpoints,
         feature_fn=feature_fn,
-        # shard rollout scoring over all chips when a multi-device mesh exists
-        mesh=make_mesh() if len(jax.devices()) > 1 else None,
+        mesh=mesh,
     )
     baseline = LinearFeatureBaseline() if cfg.rl.baseline == "linear" else ZeroBaseline()
     algo = BatchPolopt(
@@ -139,6 +154,7 @@ def run_visual_trpo(
             reg_coeff=cfg.rl.cg_damping,
             backtrack_ratio=cfg.rl.backtrack_ratio,
             max_backtracks=cfg.rl.max_backtracks,
+            mesh=mesh,
         ),
         cfg.rl,
         reward_engine=engine,
@@ -241,15 +257,37 @@ def run_pipeline(
             log_dir=os.path.join(log_dir, "expert_logs"),
         )
     video_dir = os.path.join(log_dir, "videos")
-    generate_demo_videos(
-        task,
-        expert,
-        video_dir,
-        n_demos,
-        horizon=cfg.env.horizon,
-        seed=seed,
-        env_overrides=demo_env_overrides or None,
-    )
+    if cfg.env.frame_backend in ("tpu", "native"):
+        # batched demo recording through the SAME renderer the RL frames use
+        # (reward scoring compares demo translations to agent frames — one
+        # renderer for both keeps them in the same visual domain)
+        from imitation_from_observation_tpu.exp.gen_videos import generate_demo_videos_vec
+
+        generate_demo_videos_vec(
+            task,
+            expert,
+            video_dir,
+            n_demos,
+            horizon=cfg.env.horizon,
+            seed=seed,
+            env_overrides=dict(
+                demo_env_overrides,
+                image_size=cfg.env.image_size,
+                render_size=cfg.env.render_size,
+            ),
+            n_envs=min(50, n_demos),
+            frame_backend="tpu" if cfg.env.frame_backend == "tpu" else "egl",
+        )
+    else:
+        generate_demo_videos(
+            task,
+            expert,
+            video_dir,
+            n_demos,
+            horizon=cfg.env.horizon,
+            seed=seed,
+            env_overrides=demo_env_overrides or None,
+        )
     trainer = run_translation_training(cfg, os.path.join(video_dir, "*.mp4"))
     # held-out demos -> reward engine demo data (reference modeldata npy)
     demo_data = trainer.valid_data

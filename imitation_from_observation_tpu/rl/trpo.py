@@ -48,7 +48,14 @@ class TRPO:
         truncate_local_is_ratio: float | None = None,
         hvp_mode: str = "perlmutter",  # perlmutter | fd (FiniteDifferenceHvp)
         fd_eps: float = 1e-5,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
+        the update then runs data-parallel: the sample batch shards over the
+        mesh, params replicate, and XLA inserts the psum for every batch-mean
+        in the loss/gradient/HVP (SURVEY §2.7's gradient-parallelism row;
+        the reference ran its optimizer single-device,
+        conjugate_gradient_optimizer.py:229-296)."""
         self.policy = policy
         self.step_size = step_size
         self.cg_iters = cg_iters
@@ -61,6 +68,7 @@ class TRPO:
             raise ValueError(f"unknown hvp_mode {hvp_mode!r}")
         self.hvp_mode = hvp_mode
         self.fd_eps = fd_eps
+        self.mesh = mesh
         _, self._unravel = ravel_pytree(policy.params)
         self._update = jax.jit(self._build_update())
 
@@ -188,17 +196,37 @@ class TRPO:
     # -- host api ----------------------------------------------------------
     def optimize(self, samples: dict[str, Any]) -> dict[str, float]:
         flat_params, _ = ravel_pytree(self.policy.params)
-        obs = jnp.asarray(samples["observations"], jnp.float32)
-        actions = jnp.asarray(samples["actions"], jnp.float32)
-        adv = jnp.asarray(samples["advantages"], jnp.float32)
+        obs = np.asarray(samples["observations"], np.float32)
+        actions = np.asarray(samples["actions"], np.float32)
+        adv = np.asarray(samples["advantages"], np.float32)
         old_info = {
-            "mean": jnp.asarray(samples["agent_infos"]["mean"], jnp.float32),
-            "log_std": jnp.asarray(samples["agent_infos"]["log_std"], jnp.float32),
+            "mean": np.asarray(samples["agent_infos"]["mean"], np.float32),
+            "log_std": np.asarray(samples["agent_infos"]["log_std"], np.float32),
         }
         if "valids" in samples:
-            valids = jnp.asarray(samples["valids"], jnp.float32)
+            valids = np.asarray(samples["valids"], np.float32)
         else:
-            valids = jnp.ones(obs.shape[0], jnp.float32)
+            valids = np.ones(obs.shape[0], np.float32)
+        if self.mesh is not None and not getattr(self.policy, "recurrent", False):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # pad the batch to a device multiple with valids=0 rows (every
+            # reduction in the update is valid-weighted, so padding is exact)
+            n_dev = self.mesh.devices.size
+            pad = (-obs.shape[0]) % n_dev
+            if pad:
+                zpad = lambda a: np.concatenate(
+                    [a, np.zeros((pad, *a.shape[1:]), a.dtype)]
+                )
+                obs, actions, adv = zpad(obs), zpad(actions), zpad(adv)
+                old_info = {k: zpad(v) for k, v in old_info.items()}
+                valids = np.concatenate([valids, np.zeros(pad, np.float32)])
+            shard = NamedSharding(self.mesh, P("data"))
+            rep = NamedSharding(self.mesh, P())
+            put = lambda a: jax.device_put(jnp.asarray(a), shard)
+            obs, actions, adv, valids = put(obs), put(actions), put(adv), put(valids)
+            old_info = {k: put(v) for k, v in old_info.items()}
+            flat_params = jax.device_put(flat_params, rep)
         new_flat, diag = self._update(flat_params, obs, actions, adv, old_info, valids)
         self.policy.params = self._unravel(new_flat)
         return {k: float(v) for k, v in diag.items()}

@@ -277,6 +277,46 @@ void mjb_subtree_com(void* handle, int body_id, double* out) {
     std::memcpy(out + (size_t)i * 3, &p->datas[i]->subtree_com[3 * body_id], sizeof(double) * 3);
 }
 
+void mjb_step_fwd(void* handle, const double* ctrl, int n_substeps, int do_forward) {
+  // mjb_step + optional trailing mj_forward. The python frames-on path
+  // refreshes derived quantities (subtree_com/geom_xpos) before rendering
+  // (sim/base.py::render does mj_forward first); the batched vec env calls
+  // this with do_forward=1 on render steps so reward math and frames see
+  // the same kinematics as the python path.
+  auto* p = static_cast<Pool*>(handle);
+  const int nu = p->proto->nu;
+  for (int i = 0; i < p->n; ++i) {
+    std::memcpy(p->datas[i]->ctrl, ctrl + (size_t)i * nu, sizeof(double) * nu);
+    for (int s = 0; s < n_substeps; ++s) mj_step(p->models[i], p->datas[i]);
+    if (do_forward) mj_forward(p->models[i], p->datas[i]);
+  }
+}
+
+void mjb_site_xpos(void* handle, int site_id, double* out) {
+  auto* p = static_cast<Pool*>(handle);
+  for (int i = 0; i < p->n; ++i)
+    std::memcpy(out + (size_t)i * 3, &p->datas[i]->site_xpos[3 * site_id], sizeof(double) * 3);
+}
+
+void mjb_body_com(void* handle, int body_id, double* out) {
+  // alias of subtree_com kept for naming parity with MujocoTask.body_com
+  auto* p = static_cast<Pool*>(handle);
+  for (int i = 0; i < p->n; ++i)
+    std::memcpy(out + (size_t)i * 3, &p->datas[i]->subtree_com[3 * body_id], sizeof(double) * 3);
+}
+
+void mjb_geom_state(void* handle, double* xpos, double* xmat) {
+  // Export per-env world geom poses [n, ngeom, 3] + [n, ngeom, 9] for the
+  // on-device raycast renderer (sim/raycast.py) — the whole scene state a
+  // frame depends on, ~n*ngeom*96 bytes of memcpy per render step.
+  auto* p = static_cast<Pool*>(handle);
+  const int ng = p->proto->ngeom;
+  for (int i = 0; i < p->n; ++i) {
+    std::memcpy(xpos + (size_t)i * ng * 3, p->datas[i]->geom_xpos, sizeof(double) * 3 * ng);
+    std::memcpy(xmat + (size_t)i * ng * 9, p->datas[i]->geom_xmat, sizeof(double) * 9 * ng);
+  }
+}
+
 void mjb_set_state_one(void* handle, int i, const double* qpos, const double* qvel) {
   auto* p = static_cast<Pool*>(handle);
   std::memcpy(p->datas[i]->qpos, qpos, sizeof(double) * p->proto->nq);

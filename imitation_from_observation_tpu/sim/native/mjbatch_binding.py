@@ -42,6 +42,10 @@ def _ensure_built() -> ctypes.CDLL:
         lib.mjb_last_error.restype = ctypes.c_char_p
         fp = ctypes.POINTER(ctypes.c_float)
         ubp = ctypes.POINTER(ctypes.c_ubyte)
+        lib.mjb_step_fwd.argtypes = [ctypes.c_void_p, dp, ctypes.c_int, ctypes.c_int]
+        lib.mjb_site_xpos.argtypes = [ctypes.c_void_p, ctypes.c_int, dp]
+        lib.mjb_body_com.argtypes = [ctypes.c_void_p, ctypes.c_int, dp]
+        lib.mjb_geom_state.argtypes = [ctypes.c_void_p, dp, dp]
         lib.mjb_set_state_one.argtypes = [ctypes.c_void_p, ctypes.c_int, dp, dp]
         lib.mjb_ngeom.argtypes = [ctypes.c_void_p]
         lib.mjb_ngeom.restype = ctypes.c_int
@@ -75,10 +79,28 @@ class NativeBatchSim:
         self._lib.mjb_sizes(self._pool, ctypes.byref(nq), ctypes.byref(nv), ctypes.byref(nu))
         self.nq, self.nv, self.nu = nq.value, nv.value, nu.value
 
-    def step(self, ctrl: np.ndarray, n_substeps: int = 1) -> None:
+    def step(self, ctrl: np.ndarray, n_substeps: int = 1, forward: bool = False) -> None:
+        """Step all sims; ``forward=True`` refreshes derived quantities after
+        integrating (matching the python path's pre-render mj_forward)."""
         ctrl = np.ascontiguousarray(ctrl, np.float64)
         assert ctrl.shape == (self.n, self.nu)
-        self._lib.mjb_step(self._pool, _ptr(ctrl), n_substeps)
+        if forward:
+            self._lib.mjb_step_fwd(self._pool, _ptr(ctrl), n_substeps, 1)
+        else:
+            self._lib.mjb_step(self._pool, _ptr(ctrl), n_substeps)
+
+    def site_xpos(self, site_id: int) -> np.ndarray:
+        out = np.empty((self.n, 3), np.float64)
+        self._lib.mjb_site_xpos(self._pool, site_id, _ptr(out))
+        return out
+
+    def geom_state(self) -> tuple[np.ndarray, np.ndarray]:
+        """World geom poses for every sim: ([n, ngeom, 3], [n, ngeom, 3, 3])."""
+        ng = self.ngeom
+        xpos = np.empty((self.n, ng, 3), np.float64)
+        xmat = np.empty((self.n, ng, 9), np.float64)
+        self._lib.mjb_geom_state(self._pool, _ptr(xpos), _ptr(xmat))
+        return xpos, xmat.reshape(self.n, ng, 3, 3)
 
     def get_state(self) -> tuple[np.ndarray, np.ndarray]:
         qpos = np.empty((self.n, self.nq), np.float64)

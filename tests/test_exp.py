@@ -140,6 +140,48 @@ def test_full_pipeline_tiny(tmp_path):
     assert os.path.exists(tmp_path / "rl" / "progress.csv")
 
 
+def test_full_pipeline_tiny_tpu_backend(tmp_path):
+    """The pipeline on the fully-native vec path: batched native stepping +
+    the on-device raycast renderer for BOTH demo recording and RL frames
+    (EnvConfig.frame_backend='tpu')."""
+    from imitation_from_observation_tpu.core.config import (
+        ExperimentConfig,
+        RewardConfig,
+        TrainConfig,
+        TranslationModelConfig,
+    )
+    from imitation_from_observation_tpu.exp.launchers import run_pipeline
+
+    hw, horizon = 16, 6
+    cfg = ExperimentConfig(
+        name="tiny_reach_tpu",
+        env=EnvConfig(
+            name="reacher3dof", image_size=(hw, hw), render_size=(64, 64),
+            horizon=horizon, frame_backend="tpu",
+        ),
+        model=TranslationModelConfig(model="context_skip", image_size=(hw, hw), base_filters=8, feat_size=32),
+        train=TrainConfig(batch_size=8, eval_every=4, save_every=1000, log_every=100),
+        rl=RLConfig(batch_size=4 * horizon, max_path_length=horizon, n_envs=4, snapshot_mode="none", policy_hidden=(8,)),
+        reward=RewardConfig(mode="ours", scale=0.1),
+    )
+    out = run_pipeline(
+        "reacher3dof",
+        str(tmp_path),
+        n_demos=6,
+        expert_iters=1,
+        translation_iters=4,
+        rl_iters=2,
+        seed=0,
+        cfg=cfg,
+    )
+    assert len(out["history"]) == 2
+    for h in out["history"]:
+        assert np.isfinite(h["AverageReturn"]) and np.isfinite(h["ReturnTrue"])
+    assert sum(f.endswith(".mp4") for f in os.listdir(tmp_path / "videos")) == 6
+    assert (tmp_path / "videos" / "stats.json").exists()
+    assert os.path.exists(tmp_path / "rl" / "progress.csv")
+
+
 def test_ablation_trainer(tmp_path):
     """Loss ablations: L2L3 trains on recon1 only and still runs end-to-end."""
     from imitation_from_observation_tpu.exp.ablations import run_ablation

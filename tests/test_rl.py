@@ -330,6 +330,32 @@ def test_recurrent_trpo_gru():
     assert np.isfinite(diag["MeanKL"]) and diag["MeanKL"] <= 0.05 + 1e-3 or diag["dLoss"] == 0
 
 
+def test_trpo_mesh_sharded_matches_single_device():
+    """Data-parallel TRPO over the 8-device mesh produces the same update as
+    the single-device path (padding rows are valids-masked, so the batch
+    need not divide the device count)."""
+    from imitation_from_observation_tpu.parallel import make_mesh
+    from jax.flatten_util import ravel_pytree
+
+    rng = np.random.default_rng(5)
+    N, obs_dim, act_dim = 43, 3, 2
+    samples = dict(
+        observations=rng.standard_normal((N, obs_dim)).astype(np.float32),
+        actions=rng.standard_normal((N, act_dim)).astype(np.float32),
+        advantages=rng.standard_normal(N).astype(np.float32),
+        agent_infos=dict(
+            mean=rng.standard_normal((N, act_dim)).astype(np.float32),
+            log_std=np.zeros((N, act_dim), np.float32),
+        ),
+    )
+    flats = []
+    for mesh in (None, make_mesh(8)):
+        pol = GaussianMLPPolicy(obs_dim, act_dim, hidden=(8,), init_std=1.0, seed=0)
+        TRPO(pol, mesh=mesh).optimize(dict(samples))
+        flats.append(np.asarray(ravel_pytree(pol.params)[0]))
+    np.testing.assert_allclose(flats[0], flats[1], rtol=2e-4, atol=2e-5)
+
+
 def test_trpo_fd_hvp_matches_perlmutter():
     """Finite-difference HVP gives the same descent direction family: one
     update from identical samples moves params similarly."""
