@@ -198,6 +198,59 @@ def measure_train_throughput(
     return steps / dt
 
 
+def measure_raycast_fps(batch: int = 250, hw: int = 48, iters: int = 20) -> float:
+    """On-device raycast renderer throughput (frames/s) at the RL vec-step
+    shape: 250 envs x 48x48 over the real reacher scene geometry. This is
+    the renderer that replaced the host-GL frame path (sim/raycast.py) —
+    every reward frame at reference scale comes through it."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from imitation_from_observation_tpu.sim.raycast import SceneSpec, render_batch
+
+    import mujoco
+
+    from imitation_from_observation_tpu.sim.base import _ASSET_DIR
+
+    m = mujoco.MjModel.from_xml_path(os.path.join(_ASSET_DIR, "reacher3dof.xml"))
+    d = mujoco.MjData(m)
+    mujoco.mj_forward(m, d)
+    spec = SceneSpec.from_model(m)
+    G = m.ngeom
+    rng = np.random.default_rng(0)
+    xpos = np.tile(d.geom_xpos[None], (batch, 1, 1)).astype(np.float32)
+    xpos += rng.normal(0, 0.01, xpos.shape).astype(np.float32)
+    xmat = np.tile(d.geom_xmat.reshape(G, 3, 3)[None], (batch, 1, 1, 1)).astype(np.float32)
+    rgba = np.tile(m.geom_rgba[None], (batch, 1, 1)).astype(np.float32)
+    cam = np.zeros((batch, 6), np.float32)
+    cam[:, 3], cam[:, 4] = 4.0, -45.0
+    cam[:, 5] = rng.uniform(0, 360, batch)
+
+    @jax.jit
+    def render_n(xpos, xmat, rgba, cam, n):
+        def body(_, carry):
+            xp, acc = carry
+            img = render_batch(spec, xp, xmat, rgba, cam, hw, hw, 2)
+            # feed a pixel back into the geometry so nothing is hoisted
+            return (xp + (img.astype(jnp.float32)[:, 0, 0, :1, None] * 1e-9), acc + jnp.sum(img[:, 0, 0, 0]))
+
+        _, acc = jax.lax.fori_loop(0, n, body, (xpos, jnp.zeros((), jnp.uint32)))
+        return acc
+
+    one = jnp.asarray(1, jnp.int32)
+    many = jnp.asarray(1 + iters, jnp.int32)
+    int(render_n(xpos, xmat, rgba, cam, one))  # compile
+    int(render_n(xpos, xmat, rgba, cam, one))
+    t1 = time.perf_counter()
+    int(render_n(xpos, xmat, rgba, cam, one))
+    dt1 = time.perf_counter() - t1
+    t0 = time.perf_counter()
+    int(render_n(xpos, xmat, rgba, cam, many))
+    dt = time.perf_counter() - t0
+    return batch * iters / max(dt - dt1, 1e-9)
+
+
 def measure_psnr_parity(hw: int = 48, batch: int = 4) -> float | None:
     """PSNR (dB) of the flax ContextSkip forward vs the torch TF1-semantics
     oracle with identical weights. None if the oracle is unavailable."""
@@ -250,6 +303,11 @@ def main() -> None:
         train_sps = round(measure_train_throughput(), 1)
     except Exception:
         train_sps = None
+    try:
+        raycast_fps = round(measure_raycast_fps(), 1)
+    except Exception as e:
+        print(f"raycast bench unavailable: {type(e).__name__}: {e}", file=sys.stderr)
+        raycast_fps = None
     psnr = measure_psnr_parity()
     print(
         json.dumps(
@@ -260,6 +318,7 @@ def main() -> None:
                 "vs_baseline": round(vs, 2),
                 "reward_eval_latency_ms_per_step": reward_ms,
                 "train_steps_per_sec": train_sps,
+                "raycast_frames_per_sec": raycast_fps,
                 "frame_psnr_parity_db": psnr,
             }
         )

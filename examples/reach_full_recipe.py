@@ -24,7 +24,11 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from imitation_from_observation_tpu.core.config import preset
-from imitation_from_observation_tpu.exp.launchers import run_pipeline, run_visual_trpo
+from imitation_from_observation_tpu.exp.launchers import (
+    run_pipeline,
+    run_visual_trpo,
+    sample_rl_context,
+)
 
 LOG = os.path.join(os.path.dirname(__file__), "results", "reach_full_recipe")
 EXPERT = os.path.join(
@@ -62,8 +66,13 @@ cfg = cfg.replace(
         snapshot_mode="all",
         seed=0,
     ),
-    reward=cfg.reward.replace(mode="ours", scale=0.1),
+    # the reference's reach ours_mode uses scale=1.0 (run_trpo_reach.py:96)
+    reward=cfg.reward.replace(mode="ours", scale=1.0),
 )
+
+# the RL experiment runs in ONE fixed context drawn like the reference's
+# rand_reach() (run_trpo_reach.py:67-87); demos keep full randomization
+RL_CONTEXT = sample_rl_context("reach", seed=1)
 
 
 def summarize(history, label):
@@ -89,9 +98,10 @@ def summarize(history, label):
 
 results = {}
 
-# -- stage 0: oracle control at the identical RL budget ---------------------
+# -- stage 0: oracle control at the identical RL budget + fixed context -----
 oracle_cfg = cfg.replace(
     log_dir=os.path.join(LOG, "oracle_rl"),
+    env=cfg.env.replace(**RL_CONTEXT),
     reward=cfg.reward.replace(mode="oracle"),
 )
 _, oracle_hist = run_visual_trpo(oracle_cfg)
@@ -104,10 +114,11 @@ out = run_pipeline(
     n_demos=N_DEMOS,
     translation_iters=TRANSLATION_ITERS,
     rl_iters=RL_ITERS,
-    scale=0.1,
+    scale=1.0,
     seed=0,
     cfg=cfg,
     expert_npz=EXPERT,
+    rl_context=RL_CONTEXT,
 )
 results["visual"] = summarize(out["history"], "visual (ours)")
 

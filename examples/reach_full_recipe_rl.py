@@ -1,0 +1,85 @@
+"""Stage 0 + stage 3 of the full recipe, reusing the trained artifacts.
+
+Re-runs the oracle control and the visual-reward TRPO leg of
+reach_full_recipe.py against the ALREADY-trained 100k-step translation
+model and the 2,000 recorded demos, under the reference's fixed-context
+protocol (sample_rl_context; run_trpo_reach.py:67-87) and reach's
+scale=1.0. Use after editing RL-side knobs without re-paying demo
+recording/translation training.
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from imitation_from_observation_tpu.core.config import preset
+from imitation_from_observation_tpu.exp.launchers import (
+    run_visual_trpo,
+    sample_rl_context,
+)
+
+LOG = os.path.join(os.path.dirname(__file__), "results", "reach_full_recipe")
+N_TRAIN = 1600  # run_pipeline's 0.8 split of the 2,000 demos
+RL_ITERS = 150
+
+ckpt_dir = os.path.join(LOG, "translation", "checkpoints", "100000")
+ckpt = [f[:-4] for f in os.listdir(ckpt_dir) if f.endswith(".npz")][0]
+vdata = np.load(os.path.join(LOG, "translation", "vdata.npy"), mmap_mode="r")
+demo_data = np.asarray(vdata[:, N_TRAIN:], np.float32)
+
+RL_CONTEXT = sample_rl_context("reach", seed=1)
+print("fixed RL context:", json.dumps({k: str(v)[:60] for k, v in RL_CONTEXT.items()}))
+
+cfg = preset("reach")
+cfg = cfg.replace(
+    name="reach_full_recipe",
+    log_dir=LOG,
+    env=cfg.env.replace(horizon=50, frame_backend="tpu", **RL_CONTEXT),
+    rl=cfg.rl.replace(
+        batch_size=12500, max_path_length=50, n_envs=250, n_iters=RL_ITERS,
+        init_std=10.0, snapshot_mode="all", seed=0,
+    ),
+    reward=cfg.reward.replace(
+        mode="ours", scale=1.0, model_checkpoint=os.path.join(ckpt_dir, ckpt)
+    ),
+)
+
+
+def summarize(history, label):
+    rt = [h["ReturnTrue"] for h in history]
+    sr = [h.get("SuccessRate", 0.0) for h in history]
+    best_i = int(max(range(len(rt)), key=lambda i: rt[i]))
+    out = dict(
+        label=label,
+        first10_mean=sum(rt[:10]) / min(10, len(rt)),
+        last10_mean=sum(rt[-10:]) / min(10, len(rt)),
+        best=rt[best_i],
+        best_iter=best_i,
+        best_success=sr[best_i],
+        max_success=max(sr),
+    )
+    print(
+        f"[{label}] ReturnTrue first10 {out['first10_mean']:.4f} -> "
+        f"last10 {out['last10_mean']:.4f}, best {out['best']:.4f} @ itr {best_i} "
+        f"(SuccessRate there {out['best_success']:.2f}, max {out['max_success']:.2f})"
+    )
+    return out
+
+
+results = {}
+oracle_cfg = cfg.replace(
+    log_dir=os.path.join(LOG, "oracle_rl"),
+    reward=cfg.reward.replace(mode="oracle", model_checkpoint=""),
+)
+_, oracle_hist = run_visual_trpo(oracle_cfg)
+results["oracle"] = summarize(oracle_hist, "oracle control")
+
+_, history = run_visual_trpo(cfg, demo_data=demo_data)
+results["visual"] = summarize(history, "visual (ours)")
+
+with open(os.path.join(LOG, "summary.json"), "w") as f:
+    json.dump(results, f, indent=1)
+print(json.dumps(results, indent=1))

@@ -109,10 +109,47 @@ class TpilTrainer:
 
         return rollout(env, policy, self.horizon, self.rng)
 
+    def _collect_paths(self, policy, env, n_trajs) -> list[dict[str, Any]]:
+        """n_trajs full episodes; batched over a vec env (anything with
+        ``n_envs``: NativeVecTask / VecEnv) or one-at-a-time otherwise. The
+        vec path makes the reference's 50x500 scale affordable on one core
+        (the reference spread rollouts over worker processes,
+        cyberpunk_aws.py:21-106 + parallel_sampler)."""
+        if not hasattr(env, "n_envs"):
+            return [self._rollout(policy, env) for _ in range(n_trajs)]
+        from imitation_from_observation_tpu.rl.sampler import VectorizedSampler
+
+        paths: list[dict[str, Any]] = []
+        while len(paths) < n_trajs:
+            obs = env.reset()
+            running = [
+                dict(observations=[], actions=[], rewards=[], env_infos=[], agent_infos=[])
+                for _ in range(env.n_envs)
+            ]
+            for _ in range(self.horizon):
+                actions, agent_infos = policy.get_actions(obs, self.rng.next())
+                next_obs, rewards, dones, env_infos = env.step(actions)
+                for i in range(env.n_envs):
+                    running[i]["observations"].append(obs[i])
+                    running[i]["actions"].append(actions[i])
+                    running[i]["rewards"].append(rewards[i])
+                    running[i]["env_infos"].append(env_infos[i])
+                    running[i]["agent_infos"].append(
+                        {k: v[i] for k, v in agent_infos.items()} if agent_infos else {}
+                    )
+                obs = next_obs
+                if np.all(dones):
+                    break
+            for r in running:
+                if not r["agent_infos"][0]:
+                    for step in r["agent_infos"]:
+                        step.update(dummy=np.zeros(1))
+                paths.append(VectorizedSampler._finalize(r))
+        return paths[:n_trajs]
+
     def collect_trajs_for_cost(self, n_trajs, policy, env, dom, cls):
         data, classes, domains = [], [], []
-        for _ in range(n_trajs):
-            path = self._rollout(policy, env)
+        for path in self._collect_paths(policy, env, n_trajs):
             frames = _frames_from_path(path)
             t = len(frames)
             data.append(frames)
@@ -160,8 +197,7 @@ class TpilTrainer:
 
     def collect_trajs_for_policy(self, n_trajs):
         paths = []
-        for _ in range(n_trajs):
-            path = self._rollout(self.novice_policy, self.novice_env)
+        for path in self._collect_paths(self.novice_policy, self.novice_env, n_trajs):
             frames = _frames_from_path(path)
             f1, f2 = velocity_pairs(frames)
             p_expert = self.disc.get_reward([f1, f2], softmax=True)[:, 0]

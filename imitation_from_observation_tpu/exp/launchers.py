@@ -176,6 +176,80 @@ def run_visual_trpo(
     return policy, history
 
 
+def sample_rl_context(task: str, seed: int = 0) -> dict:
+    """Draw the ONE fixed scene context an RL experiment runs in.
+
+    The reference's launchers draw viewpoint/goal/colors/distractors ONCE
+    per experiment and pin them into the env kwargs (`rand_reach`,
+    run_trpo_reach.py:67-87; `rand_push`, run_trpo_push.py:68-85;
+    `rand_strike`, run_trpo_strike.py:62-75; `rand_throw`,
+    run_trpo_throw.py:62-67; `rand_sweep`, run_trpo_sweep.py:55-57) —
+    context RANDOMIZATION lives in the demo videos; the RL scene is fixed,
+    so the reward engine's demo-translation cache (built from the agent's
+    context frame, base.py:195-226) matches every rollout. Returns
+    EnvConfig override fields."""
+    rng = np.random.default_rng(seed)
+
+    def color() -> np.ndarray:
+        c = rng.uniform(0, 1, 3)
+        while np.linalg.norm(c - np.array([1.0, 0.0, 0.0])) < 0.5:
+            c = rng.uniform(0, 1, 3)
+        return c
+
+    def distractor_geoms() -> tuple:
+        geoms = []
+        for _ in range(5):
+            pos_x = rng.uniform(-0.9, 0.9)
+            pos_y = rng.uniform(0.0, 1.0)
+            rgba = color().tolist()
+            isinv = 1.0 if rng.random() > 0.5 else 0.0
+            geoms.append((tuple(rgba + [isinv]), pos_x, pos_y))
+        return tuple(geoms)
+
+    if task in ("reach", "reacher3dof"):
+        vp = rng.uniform(0, 360)
+        goal = (rng.uniform(-1.1, -0.5), rng.uniform(0.5, 1.1))
+        armcolor = color()
+        bgcolor = color()
+        while np.linalg.norm(bgcolor - armcolor) < 0.5:
+            bgcolor = rng.uniform(0, 1, 3)  # launcher retries BG (not arm)
+        return dict(
+            viewpoint=float(vp),
+            goal=goal,
+            armcolor=tuple(armcolor.tolist() + [1.0]),
+            bgcolor=tuple(bgcolor.tolist() + [1.0]),
+            geoms=distractor_geoms(),
+        )
+    if task in ("push", "pusher3dof"):
+        while True:
+            obj = (rng.uniform(-1.0, -0.4), rng.uniform(0.3, 1.2))
+            goal = (rng.uniform(-1.2, -0.8), rng.uniform(0.8, 1.2))
+            if np.linalg.norm(np.array(obj) - np.array(goal)) > 0.45:
+                break
+        geoms = distractor_geoms()
+        return dict(
+            viewpoint=float(rng.uniform(0, 360)), object_pos=obj, goal=goal, geoms=geoms
+        )
+    if task in ("strike", "strike_inception", "striker"):
+        vp = rng.uniform(0, 360, 10)  # launcher draws 10; nvp=1 uses the first
+        ball = np.array([0.5, -0.175])
+        while True:
+            goal = np.array([rng.uniform(0.15, 0.7), rng.uniform(0.1, 1.0)])
+            if np.linalg.norm(ball - goal) > 0.17:
+                break
+        return dict(viewpoint=float(vp[0]), goal=tuple(goal.tolist()), view_angle=45.0)
+    if task in ("throw", "thrower"):
+        return dict(
+            viewpoint=float(rng.uniform(0, 360)),
+            goal=(rng.uniform(-0.3, 0.3), rng.uniform(-0.3, 0.3)),
+        )
+    if task in ("sweep", "cleaner"):
+        return dict(viewpoint=float(rng.uniform(0, 360)))
+    if task in ("real", "pusher3dofreal"):
+        return {}  # measured fixed scene comes from the launcher's SCENE dict
+    raise ValueError(f"unknown task {task!r}")
+
+
 def scene_overrides(env_cfg: EnvConfig) -> dict:
     """Scene/camera context that must flow into expert training and demo
     recording the way the reference's launcher kwargs flowed into
@@ -204,10 +278,16 @@ def run_pipeline(
     seed: int = 0,
     cfg: ExperimentConfig | None = None,
     expert_npz: str | None = None,
+    rl_context: dict | None = None,
 ):
     """The full paper pipeline at configurable scale: train oracle expert ->
     record demo videos -> train translation model -> visual-reward TRPO.
     Pass ``cfg`` to override the task preset (model/env sizes etc.).
+
+    ``rl_context``: EnvConfig override fields pinning the RL stage to ONE
+    fixed scene (viewpoint/goal/colors/distractors) the way the reference
+    launchers did (see :func:`sample_rl_context`) — demo recording keeps
+    its full per-episode randomization either way.
 
     ``expert_npz``: skip expert training and load a saved expert instead —
     e.g. one extracted from the reference's shipped pickles
@@ -291,5 +371,6 @@ def run_pipeline(
     trainer = run_translation_training(cfg, os.path.join(video_dir, "*.mp4"))
     # held-out demos -> reward engine demo data (reference modeldata npy)
     demo_data = trainer.valid_data
-    policy, history = run_visual_trpo(cfg, params=trainer.state.params, demo_data=demo_data)
+    rl_cfg = cfg if not rl_context else cfg.replace(env=cfg.env.replace(**rl_context))
+    policy, history = run_visual_trpo(rl_cfg, params=trainer.state.params, demo_data=demo_data)
     return dict(expert=expert, trainer=trainer, policy=policy, history=history)

@@ -16,6 +16,20 @@ from imitation_from_observation_tpu.rl.optimizers import (
     LbfgsOptimizer,
     PenaltyLbfgsOptimizer,
 )
+from imitation_from_observation_tpu.rl.policies_extra import (
+    CategoricalGRUPolicy,
+    CategoricalLSTMPolicy,
+    CategoricalMLPPolicy,
+    GaussianConvPolicy,
+    GaussianGRUPolicy,
+    GaussianLSTMPolicy,
+)
+from imitation_from_observation_tpu.rl.regressors import (
+    BernoulliMLPRegressor,
+    CategoricalMLPRegressor,
+    DeterministicMLPRegressor,
+    GaussianMLPRegressor,
+)
 from imitation_from_observation_tpu.rl.spaces import Box, Discrete, Product
 
 
@@ -59,4 +73,14 @@ __all__ = [
     "Box",
     "Discrete",
     "Product",
+    "CategoricalMLPPolicy",
+    "CategoricalGRUPolicy",
+    "CategoricalLSTMPolicy",
+    "GaussianGRUPolicy",
+    "GaussianLSTMPolicy",
+    "GaussianConvPolicy",
+    "GaussianMLPRegressor",
+    "DeterministicMLPRegressor",
+    "CategoricalMLPRegressor",
+    "BernoulliMLPRegressor",
 ]

@@ -12,7 +12,7 @@ from __future__ import annotations
 from imitation_from_observation_tpu.core.checkpoint import SnapshotManager
 from imitation_from_observation_tpu.core.config import RLConfig
 from imitation_from_observation_tpu.core.log import Logger, get_logger
-from imitation_from_observation_tpu.rl.gae import process_paths
+from imitation_from_observation_tpu.rl.gae import pad_paths_recurrent, process_paths
 from imitation_from_observation_tpu.rl.sampler import VectorizedSampler
 
 
@@ -67,6 +67,12 @@ class BatchPolopt:
                         self.cfg.positive_adv,
                         self.cfg.success_threshold,
                     )
+                    if getattr(self.policy, "recurrent", False):
+                        # recurrent optimizers consume padded [B, T] batches
+                        # with a valids mask (reference base.py:289-343)
+                        samples.update(
+                            pad_paths_recurrent(samples["paths"], self.cfg.center_adv)
+                        )
                 # the iteration's diagnostics (ReturnTrue et al) were earned
                 # by the PRE-update policy — snapshot those params for
                 # best-iterate selection before optimizing

@@ -151,6 +151,148 @@ class GaussianGRUPolicy:
         return {"mean": means, "log_std": log_std}
 
 
+class _LSTMNet(nn.Module):
+    hidden: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, carry, obs):
+        carry, h = nn.OptimizedLSTMCell(self.hidden)(carry, obs)
+        return carry, nn.Dense(self.out_dim)(h)
+
+
+class _RecurrentPolicyBase:
+    """Shared carry management for the recurrent policies: per-env hidden
+    state through ``get_actions`` with masked reset on episode boundaries
+    (the vectorized sampler calls ``reset_where``)."""
+
+    recurrent = True
+
+    def _init_carry(self, n: int):
+        raise NotImplementedError
+
+    def reset(self, n_envs: int = 1):
+        self._carry = self._init_carry(n_envs)
+
+    def reset_where(self, dones: np.ndarray) -> None:
+        if getattr(self, "_carry", None) is None:
+            return
+        mask = jnp.asarray(~np.asarray(dones, bool), jnp.float32)[:, None]
+        self._carry = jax.tree_util.tree_map(lambda c: c * mask, self._carry)
+
+    def get_action(self, obs, key):
+        a, info = self.get_actions(np.asarray(obs)[None], key)
+        return a[0], {k: v[0] for k, v in info.items()}
+
+
+class GaussianLSTMPolicy(_RecurrentPolicyBase):
+    """LSTM trunk + Gaussian head (reference
+    sandbox/rocky/tf/policies/gaussian_lstm_policy.py)."""
+
+    def __init__(self, obs_dim: int, action_dim: int, hidden: int = 32, init_std: float = 1.0, seed: int = 0):
+        self.obs_dim, self.action_dim, self.hidden = obs_dim, action_dim, hidden
+        self.net = _LSTMNet(hidden, action_dim)
+        carry0 = self._init_carry(1)
+        net_params = self.net.init(jax.random.key(seed), carry0, jnp.zeros((1, obs_dim)))
+        self.params = {"net": net_params, "log_std": jnp.full((action_dim,), np.log(init_std))}
+        self._carry = None
+        self._step = jax.jit(self._step_impl)
+
+    def _init_carry(self, n: int):
+        return (jnp.zeros((n, self.hidden)), jnp.zeros((n, self.hidden)))
+
+    def _step_impl(self, params, carry, obs, key):
+        carry, mean = self.net.apply(params["net"], carry, obs)
+        log_std = jnp.broadcast_to(params["log_std"], mean.shape)
+        actions = mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
+        return carry, actions, {"mean": mean, "log_std": log_std}
+
+    def get_actions(self, obs: np.ndarray, key):
+        if self._carry is None or self._carry[0].shape[0] != len(obs):
+            self.reset(len(obs))
+        self._carry, actions, info = self._step(self.params, self._carry, jnp.asarray(obs), key)
+        return np.asarray(actions), {k: np.asarray(v) for k, v in info.items()}
+
+    def dist_info_sequence(self, params, obs_seq):
+        def scan_t(carry, obs_t):
+            return self.net.apply(params["net"], carry, obs_t)
+
+        carry0 = self._init_carry(obs_seq.shape[0])
+        _, means = jax.lax.scan(scan_t, carry0, jnp.swapaxes(obs_seq, 0, 1))
+        means = jnp.swapaxes(means, 0, 1)
+        log_std = jnp.broadcast_to(params["log_std"], means.shape)
+        return {"mean": means, "log_std": log_std}
+
+
+class _CategoricalRecurrent(_RecurrentPolicyBase):
+    """Recurrent trunk + categorical head (reference
+    sandbox/rocky/tf/policies/categorical_{gru,lstm}_policy.py). Actions
+    flow as one-hots; dist infos carry ``prob``."""
+
+    CELL = "gru"
+
+    def __init__(self, obs_dim: int, n_actions: int, hidden: int = 32, seed: int = 0):
+        self.obs_dim, self.n_actions, self.hidden = obs_dim, n_actions, hidden
+        if self.CELL == "gru":
+            self.net = _GRUNet(hidden, n_actions)
+        else:
+            self.net = _LSTMNet(hidden, n_actions)
+        carry0 = self._init_carry(1)
+        self.params = {"net": self.net.init(jax.random.key(seed), carry0, jnp.zeros((1, obs_dim)))}
+        self._carry = None
+        self._step = jax.jit(self._step_impl)
+
+    def _init_carry(self, n: int):
+        if self.CELL == "gru":
+            return jnp.zeros((n, self.hidden))
+        return (jnp.zeros((n, self.hidden)), jnp.zeros((n, self.hidden)))
+
+    def reset_where(self, dones: np.ndarray) -> None:
+        if getattr(self, "_carry", None) is None:
+            return
+        mask = jnp.asarray(~np.asarray(dones, bool), jnp.float32)[:, None]
+        if self.CELL == "gru":
+            self._carry = self._carry * mask
+        else:
+            self._carry = jax.tree_util.tree_map(lambda c: c * mask, self._carry)
+
+    def _step_impl(self, params, carry, obs, key):
+        carry, logits = self.net.apply(params["net"], carry, obs)
+        actions = jax.random.categorical(key, logits)
+        onehot = jax.nn.one_hot(actions, self.n_actions)
+        return carry, onehot, {"prob": jax.nn.softmax(logits)}
+
+    def get_actions(self, obs: np.ndarray, key):
+        if self._carry is None:
+            self.reset(len(obs))
+        else:
+            lead = self._carry if self.CELL == "gru" else self._carry[0]
+            if lead.shape[0] != len(obs):
+                self.reset(len(obs))
+        self._carry, onehot, info = self._step(self.params, self._carry, jnp.asarray(obs), key)
+        return np.asarray(onehot), {"prob": np.asarray(info["prob"])}
+
+    def get_action(self, obs, key):
+        a, info = self.get_actions(np.asarray(obs)[None], key)
+        return int(np.argmax(a[0])), {k: v[0] for k, v in info.items()}
+
+    def dist_info_sequence(self, params, obs_seq):
+        def scan_t(carry, obs_t):
+            return self.net.apply(params["net"], carry, obs_t)
+
+        carry0 = self._init_carry(obs_seq.shape[0])
+        _, logits = jax.lax.scan(scan_t, carry0, jnp.swapaxes(obs_seq, 0, 1))
+        return {"prob": jax.nn.softmax(jnp.swapaxes(logits, 0, 1))}
+
+
+class CategoricalGRUPolicy(_CategoricalRecurrent):
+    CELL = "gru"
+
+
+class CategoricalLSTMPolicy(_CategoricalRecurrent):
+    CELL = "lstm"
+
+
 class _ConvNet(nn.Module):
     filters: tuple[int, ...]
     hidden: tuple[int, ...]

@@ -381,6 +381,108 @@ def test_trpo_fd_hvp_matches_perlmutter():
     np.testing.assert_allclose(a, b, rtol=0.2, atol=5e-3)  # same direction, fd noise
 
 
+def test_lstm_policy_recurrent_trpo():
+    """GaussianLSTMPolicy through the recurrent TRPO path (reference
+    sandbox/rocky/tf/policies/gaussian_lstm_policy.py + npo recurrent
+    branch): runs, improves, keeps finite params."""
+    from imitation_from_observation_tpu.rl.policies_extra import GaussianLSTMPolicy
+
+    vec = _VecPoint(8, seed=0)
+    pol = GaussianLSTMPolicy(obs_dim=2, action_dim=2, hidden=8, init_std=1.0, seed=0)
+    import tempfile
+
+    cfg = RLConfig(batch_size=240, max_path_length=12, n_iters=6, snapshot_mode="none")
+    algo = BatchPolopt(
+        vec, pol, LinearFeatureBaseline(), TRPO(pol, step_size=0.1), cfg,
+        log_dir=tempfile.mkdtemp(),
+    )
+    h = algo.train()
+    assert np.isfinite(h[-1]["AverageReturn"])
+    assert h[-1]["AverageReturn"] > h[0]["AverageReturn"] - 0.5  # not diverging
+    flat = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(pol.params)])
+    assert np.all(np.isfinite(flat))
+
+
+def test_lstm_policy_reset_where():
+    from imitation_from_observation_tpu.rl.policies_extra import GaussianLSTMPolicy
+
+    pol = GaussianLSTMPolicy(obs_dim=3, action_dim=2, hidden=4, seed=0)
+    import jax as _jax
+
+    obs = np.random.default_rng(0).standard_normal((5, 3)).astype(np.float32)
+    pol.get_actions(obs, _jax.random.key(0))
+    pol.get_actions(obs, _jax.random.key(1))
+    c_before = np.asarray(pol._carry[0]).copy()
+    assert np.abs(c_before).sum() > 0
+    pol.reset_where(np.array([True, False, True, False, False]))
+    c_after = np.asarray(pol._carry[0])
+    assert np.all(c_after[[0, 2]] == 0)
+    np.testing.assert_array_equal(c_after[[1, 3, 4]], c_before[[1, 3, 4]])
+
+
+def test_categorical_recurrent_policies():
+    """Categorical GRU/LSTM policies (reference categorical_{gru,lstm}_
+    policy.py): one-hot actions, prob infos, sequence dist infos sum to 1."""
+    import jax as _jax
+
+    from imitation_from_observation_tpu.rl.policies_extra import (
+        CategoricalGRUPolicy,
+        CategoricalLSTMPolicy,
+    )
+
+    for cls in (CategoricalGRUPolicy, CategoricalLSTMPolicy):
+        pol = cls(obs_dim=3, n_actions=4, hidden=8, seed=0)
+        obs = np.random.default_rng(1).standard_normal((6, 3)).astype(np.float32)
+        a, info = pol.get_actions(obs, _jax.random.key(0))
+        assert a.shape == (6, 4) and np.all(a.sum(1) == 1)
+        np.testing.assert_allclose(info["prob"].sum(1), 1.0, rtol=1e-5)
+        pol.reset_where(np.array([True] * 6))
+        seq = pol.dist_info_sequence(pol.params, np.zeros((2, 5, 3), np.float32))
+        assert seq["prob"].shape == (2, 5, 4)
+        np.testing.assert_allclose(np.asarray(seq["prob"]).sum(-1), 1.0, rtol=1e-5)
+        a0, info0 = pol.get_action(obs[0], _jax.random.key(2))
+        assert isinstance(a0, int) and 0 <= a0 < 4
+
+
+def test_regressor_suite():
+    """The four regressors (reference sandbox/rocky/tf/regressors/): each
+    fits its family's synthetic target."""
+    from imitation_from_observation_tpu.rl.regressors import (
+        BernoulliMLPRegressor,
+        CategoricalMLPRegressor,
+        DeterministicMLPRegressor,
+        GaussianMLPRegressor,
+    )
+
+    rng = np.random.default_rng(0)
+    xs = rng.standard_normal((256, 3)).astype(np.float32)
+
+    ys = np.stack([xs[:, 0] + 0.5 * xs[:, 1], xs[:, 2] ** 2], 1)
+    for cls in (DeterministicMLPRegressor, GaussianMLPRegressor):
+        reg = cls(3, 2, hidden=(32,), n_steps=500, learning_rate=1e-2)
+        reg.fit(xs, ys)
+        pred = reg.predict(xs)
+        assert np.mean((pred - ys) ** 2) < 0.05, cls.__name__
+
+    labels = (xs[:, 0] > 0).astype(int)
+    onehot = np.eye(2, dtype=np.float32)[labels]
+    creg = CategoricalMLPRegressor(3, 2, hidden=(16,), n_steps=500)
+    creg.fit(xs, onehot)
+    assert (creg.predict(xs).argmax(1) == labels).mean() > 0.95
+    ll = creg.predict_log_likelihood(xs, onehot)
+    assert ll.shape == (256,) and ll.mean() > -0.5
+
+    binary = (xs[:, :2] > 0).astype(np.float32)
+    breg = BernoulliMLPRegressor(3, 2, hidden=(16,), n_steps=500)
+    breg.fit(xs, binary)
+    assert ((breg.predict(xs) == binary).mean()) > 0.95
+
+    # gaussian log-likelihood sane on its own fit
+    greg = GaussianMLPRegressor(3, 2, hidden=(32,), n_steps=500)
+    greg.fit(xs, ys)
+    assert np.isfinite(greg.predict_log_likelihood(xs, ys)).all()
+
+
 def test_gru_policy_reset_where():
     from imitation_from_observation_tpu.rl.policies_extra import GaussianGRUPolicy
 
