@@ -79,6 +79,39 @@ def test_viskit_lite(tmp_path):
     assert os.path.exists(out)
 
 
+def test_viskit_dashboard_server(tmp_path):
+    """The interactive dashboard (reference rllab/viskit Flask frontend
+    role): serves the selector page and renders plots over HTTP."""
+    import threading
+    import urllib.request
+
+    for seed in [1, 2]:
+        d = tmp_path / f"exp_s{seed}"
+        d.mkdir()
+        with open(d / "progress.csv", "w") as f:
+            f.write("Iteration,ReturnTrue\n")
+            for i in range(4):
+                f.write(f"{i},{-1 + 0.1 * i * seed}\n")
+        with open(d / "variant.json", "w") as f:
+            json.dump({"seed": seed}, f)
+
+    from imitation_from_observation_tpu.exp.viskit_lite import serve
+
+    server = serve(str(tmp_path), port=0, y_default="ReturnTrue")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        html = urllib.request.urlopen(f"http://127.0.0.1:{port}/?group_by=seed").read().decode()
+        assert "viskit-lite" in html and "ReturnTrue" in html and "exp_s1" in html
+        png = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/plot.png?y=ReturnTrue&group_by=seed"
+        ).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        server.shutdown()
+
+
 def test_run_experiment_spec(tmp_path):
     from imitation_from_observation_tpu.exp.run_experiment import run_spec
 
@@ -138,6 +171,34 @@ def test_full_pipeline_tiny(tmp_path):
     assert (tmp_path / "videos" / "stats.json").exists()
     assert os.path.exists(tmp_path / "translation" / "vdata.npy")
     assert os.path.exists(tmp_path / "rl" / "progress.csv")
+
+
+def test_sample_rl_context():
+    """The fixed-context sampler mirrors the reference launchers' rand_*()
+    (run_trpo_reach.py:67-87 et al.): deterministic per seed, fields map to
+    EnvConfig, ranges match the env's own reset distributions."""
+    from imitation_from_observation_tpu.exp.launchers import sample_rl_context
+
+    a = sample_rl_context("reach", seed=3)
+    b = sample_rl_context("reach", seed=3)
+    assert a == b
+    assert a != sample_rl_context("reach", seed=4)
+    assert 0 <= a["viewpoint"] <= 360
+    assert -1.1 <= a["goal"][0] <= -0.5 and 0.5 <= a["goal"][1] <= 1.1
+    assert len(a["geoms"]) == 5 and all(len(g[0]) == 4 for g in a["geoms"])
+    assert len(a["armcolor"]) == 4 and a["armcolor"][3] == 1.0
+    # every field is a real EnvConfig knob
+    cfg = EnvConfig(name="reacher3dof", **a)
+    assert cfg.viewpoint == a["viewpoint"]
+    p = sample_rl_context("push", seed=0)
+    assert np.linalg.norm(np.array(p["object_pos"]) - np.array(p["goal"])) > 0.45
+    s = sample_rl_context("strike", seed=0)
+    assert s["view_angle"] == 45.0
+    EnvConfig(name="striker", **s)
+    assert sample_rl_context("sweep", seed=0).keys() == {"viewpoint"}
+    assert sample_rl_context("real", seed=0) == {}
+    t = sample_rl_context("throw", seed=0)
+    assert all(-0.3 <= g <= 0.3 for g in t["goal"])
 
 
 def test_full_pipeline_tiny_tpu_backend(tmp_path):
