@@ -54,11 +54,21 @@ def decode_video(path: str, prefer_native: bool = True) -> np.ndarray:
 
 
 def write_mp4(path: str, frames: np.ndarray, fps: int = 20) -> None:
-    """Encode uint8 RGB frames [T, H, W, 3] to mp4."""
+    """Encode uint8 RGB frames [T, H, W, 3] to mp4.
+
+    Odd dimensions are edge-padded to even first: 4:2:0 chroma subsampling
+    needs even W/H, and the cv2 writer otherwise silently crops (a 299x299
+    inception demo came back 298x298). Decoded size may therefore exceed the
+    input by one row/col — consumers resize to their target (the reference
+    likewise resized after decode, train_script.py:67-70).
+    """
     import cv2
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     t, h, w, _ = frames.shape
+    if h % 2 or w % 2:
+        frames = np.pad(frames, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+        t, h, w, _ = frames.shape
     writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
     if not writer.isOpened():
         raise VideoDecodeError(f"cannot open writer for {path}")

@@ -38,7 +38,10 @@ struct DecoderCtx {
 
   ~DecoderCtx() {
     if (pkt) av_packet_free(&pkt);
-    if (rgb) av_frame_free(&rgb);
+    if (rgb) {
+      if (rgb->data[0]) av_freep(&rgb->data[0]);
+      av_frame_free(&rgb);
+    }
     if (frame) av_frame_free(&frame);
     if (sws) sws_freeContext(sws);
     if (codec) avcodec_free_context(&codec);
@@ -78,11 +81,20 @@ int push_rgb(DecoderCtx& c, std::vector<uint8_t>& out, int& H, int& W) {
                            AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
     if (!c.sws) return -21;
   }
+  // sws_scale's SIMD paths write whole vector lanes and can touch bytes
+  // beyond a w*3-tight row (heap corruption for odd/unaligned widths, e.g.
+  // 299x299 inception demos) — scale into an av_image_alloc'd scratch frame
+  // (aligned, padded linesize) and copy rows tightly into the output.
+  if (!c.rgb->data[0]) {
+    if (av_image_alloc(c.rgb->data, c.rgb->linesize, w, h, AV_PIX_FMT_RGB24, 64) < 0)
+      return -22;
+  }
+  sws_scale(c.sws, c.frame->data, c.frame->linesize, 0, h, c.rgb->data, c.rgb->linesize);
   const size_t off = out.size();
   out.resize(off + (size_t)h * w * 3);
-  uint8_t* dst_data[4] = {out.data() + off, nullptr, nullptr, nullptr};
-  int dst_linesize[4] = {w * 3, 0, 0, 0};
-  sws_scale(c.sws, c.frame->data, c.frame->linesize, 0, h, dst_data, dst_linesize);
+  for (int y = 0; y < h; ++y)
+    std::memcpy(out.data() + off + (size_t)y * w * 3,
+                c.rgb->data[0] + (size_t)y * c.rgb->linesize[0], (size_t)w * 3);
   return 0;
 }
 

@@ -128,3 +128,25 @@ def test_native_decoder_matches_cv2(tmp_path):
     assert native.shape == ref.shape
     assert np.mean(np.abs(native.astype(float) - ref.astype(float))) < 2.0
     assert binding.frame_count(path) == 51
+
+
+def test_odd_dimensions_roundtrip(tmp_path, rng):
+    """Odd frame sizes (the 299x299 inception config): write_mp4 edge-pads
+    to even (4:2:0 needs it; the writer used to silently crop) and the
+    native decoder handles unaligned widths without heap corruption (it
+    used to sws_scale past a w*3-tight row)."""
+    frames = rng.integers(0, 255, (7, 29, 37, 3), dtype=np.uint8)
+    path = str(tmp_path / "odd.mp4")
+    write_mp4(path, frames)
+    from imitation_from_observation_tpu.video.io import _decode_cv2
+
+    ref = _decode_cv2(path)
+    assert ref.shape == (7, 30, 38, 3)  # padded, not cropped
+    try:
+        from imitation_from_observation_tpu.video.native import binding
+
+        native = binding.decode(path)
+    except Exception as e:
+        pytest.skip(f"native decoder unavailable: {e}")
+    assert native.shape == ref.shape
+    np.testing.assert_array_equal(native, ref)
