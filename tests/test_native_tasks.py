@@ -122,6 +122,32 @@ def test_native_vec_lockstep_reward_true():
     nv.close()
 
 
+def test_generate_demo_videos_vec(tmp_path):
+    """Batched demo recording: full-rate 51-frame mp4s + stats manifest
+    through the raycast backend (exp/gen_videos.py::generate_demo_videos_vec)."""
+    import json
+
+    from imitation_from_observation_tpu.exp.gen_videos import generate_demo_videos_vec
+    from imitation_from_observation_tpu.video.io import decode_video
+
+    class _Zero:
+        def get_actions(self, obs, key=None):
+            return np.zeros((len(obs), 3)), {}
+
+    horizon = 6
+    written = generate_demo_videos_vec(
+        "reacher3dof", _Zero(), str(tmp_path), n_videos=5, horizon=horizon,
+        env_overrides=dict(image_size=(24, 24), render_size=(64, 64)),
+        n_envs=3, frame_backend="tpu",
+    )
+    assert len(written) == 5
+    frames = decode_video(written[0])
+    assert frames.shape == (horizon + 1, 24, 24, 3)
+    assert frames.max() > 30  # scene lit, not black
+    stats = json.load(open(tmp_path / "stats.json"))
+    assert stats["n_videos"] == 5 and len(stats["episode_true_rewards"]) == 5
+
+
 # -- raycast renderer ------------------------------------------------------
 
 
