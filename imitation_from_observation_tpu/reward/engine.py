@@ -201,6 +201,33 @@ class VisualRewardEngine:
             self.means.append(z_all.mean(axis=0))  # [T, F]
             self.imgs.append(out_all.mean(axis=0))  # [T, ...]
 
+    def _gather_device_frames(self, paths):
+        """Assemble the scoring batch from the sampler's device-resident
+        episode blocks (``path["frames_dev"] = (block [T,N,V,...], env_idx)``,
+        VectorizedSampler.obtain_samples) -> (batch [P,T,V,...] uint8 on
+        device, ctx uint8 [V,H,W,C] on host). One tiny host fetch (the warmup
+        context frame) instead of the full 4*P*T*V*H*W byte round trip."""
+        T = min(len(p["rewards"]) // 2 for p in paths)
+        T = min(T, min(int(p["frames_dev"][0].shape[0]) for p in paths))
+        parts, cur_block, idxs = [], None, []
+
+        def flush():
+            if idxs:
+                sub = cur_block[:T, jnp.asarray(np.asarray(idxs))]
+                parts.append(jnp.moveaxis(sub, 0, 1))  # [P_b, T, V, ...]
+
+        for p in paths:
+            block, i = p["frames_dev"]
+            if block is not cur_block:
+                flush()
+                cur_block, idxs = block, []
+            idxs.append(int(i))
+        flush()
+        batch = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        b0, i0 = paths[0]["frames_dev"]
+        ctx_u8 = np.asarray(b0[0, int(i0)])  # [V, H, W, C]
+        return batch, ctx_u8
+
     # -- per-iteration splice ---------------------------------------------
     def process(self, paths: list[dict[str, Any]]) -> list[dict[str, Any]]:
         mode = self.cfg.mode
@@ -214,21 +241,34 @@ class VisualRewardEngine:
             return self._process_inception(paths)
 
         # -- ours / oursinception ------------------------------------------
-        frame_stacks, frame_counts = [], []
-        for p in paths:
-            frames = [f for f in p["env_infos"].get("frames", []) if f is not None]
-            if not frames:
+        if paths and "frames_dev" in paths[0]:
+            # device-resident fast path ("ours" only): frames never left the
+            # chip after the raycast render; gather/transpose them on device
+            # and skip the host restack + re-upload entirely
+            if mode != "ours":
                 raise ValueError(
-                    f"reward mode {mode!r} needs rendered frames in "
-                    "env_infos['frames'] — configure the env with render_frames=True"
+                    f"device-resident frames require mode 'ours' (got {mode!r} "
+                    "— backbone feature paths consume host frames)"
                 )
-            frame_stacks.append(np.stack(frames))  # [T, V, H, W, C]
-            frame_counts.append(len(frames))
-        T = min(frame_counts)
-        batch_u8 = np.stack([f[:T] for f in frame_stacks])  # [P, T, V, H, W, C]
+            batch_u8, ctx_u8 = self._gather_device_frames(paths)
+            T = int(batch_u8.shape[1])
+        else:
+            frame_stacks, frame_counts = [], []
+            for p in paths:
+                frames = [f for f in p["env_infos"].get("frames", []) if f is not None]
+                if not frames:
+                    raise ValueError(
+                        f"reward mode {mode!r} needs rendered frames in "
+                        "env_infos['frames'] — configure the env with render_frames=True"
+                    )
+                frame_stacks.append(np.stack(frames))  # [T, V, H, W, C]
+                frame_counts.append(len(frames))
+            T = min(frame_counts)
+            batch_u8 = np.stack([f[:T] for f in frame_stacks])  # [P, T, V, H, W, C]
+            ctx_u8 = batch_u8[0, 0]  # first rollout's first rendered frame
 
         if self.means is None:
-            self._warmup(batch_u8[0, 0])  # first rollout's first rendered frame
+            self._warmup(ctx_u8)
             # warmup cache lives on device; re-upload only if T changes
             self._means_dev, self._imgs_dev, self._cache_T = None, None, -1
         if getattr(self, "_cache_T", -1) != T:
@@ -245,8 +285,8 @@ class VisualRewardEngine:
 
             n_dev = self.mesh.devices.size
             pad = (-len(batch)) % n_dev
-            if pad:
-                batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
+            if pad:  # jnp keeps an already-device-resident batch on device
+                batch = jnp.concatenate([batch, jnp.repeat(batch[-1:], pad, axis=0)])
             batch = jax.device_put(jnp.asarray(batch), NamedSharding(self.mesh, P("data")))
         else:
             batch = jnp.asarray(batch)
@@ -255,7 +295,7 @@ class VisualRewardEngine:
             feat = np.asarray(self._score_paths(self.params, batch, means, mean_imgs, 0.0))
             recon = np.asarray(
                 self._recon_paths(
-                    self.params, batch, jnp.asarray(self._frames_to_model_space(batch_u8[0, 0]))
+                    self.params, batch, jnp.asarray(self._frames_to_model_space(ctx_u8))
                 )
             )
             costs = feat + self.cfg.scale * recon

@@ -84,6 +84,12 @@ class VectorizedSampler:
             t2 = time.perf_counter()
             policy_time += t1 - t0
             env_time += t2 - t1
+            # device-resident frames: a lockstep episode end hands over ONE
+            # [T,N,V,...] device block shared by this episode's N paths (the
+            # reward engine indexes/scoress it without a host round trip)
+            block = None
+            if dones[0] and np.all(dones) and hasattr(self.vec_env, "pop_episode_frames"):
+                block = self.vec_env.pop_episode_frames()
             for i in range(n):
                 running[i]["observations"].append(obs[i])
                 running[i]["actions"].append(actions[i])
@@ -93,7 +99,10 @@ class VectorizedSampler:
                     {k: v[i] for k, v in agent_infos.items()}
                 )
                 if dones[i]:
-                    paths.append(self._finalize(running[i]))
+                    path = self._finalize(running[i])
+                    if block is not None:
+                        path["frames_dev"] = (block, i)
+                    paths.append(path)
                     n_steps += len(running[i]["rewards"])
                     running[i] = dict(
                         observations=[], actions=[], rewards=[], env_infos=[], agent_infos=[]
@@ -134,7 +143,7 @@ def truncate_paths(paths: list[dict[str, Any]], n_samples: int) -> list[dict[str
                     k: (
                         {kk: vv[:keep] for kk, vv in v.items()}
                         if isinstance(v, dict)
-                        else v[:keep]
+                        else (v if k == "frames_dev" else v[:keep])
                     )
                     for k, v in p.items()
                 }

@@ -58,6 +58,7 @@ class NativeVecTask:
         frames_mode: str | None = None,  # default from config.render_frames
         resample_cameras: bool = False,  # fresh viewpoints every episode
         supersample: int = 2,
+        device_frames: bool = False,  # keep rendered frames ON device
     ):
         self.config = config or EnvConfig()
         self.n_envs = n_envs
@@ -87,6 +88,17 @@ class NativeVecTask:
             frames_mode = "odd" if self.config.render_frames else "none"
         self.frames_mode = frames_mode
         self.frame_backend = frame_backend
+        # device-resident frames: rendered steps accumulate as jax arrays
+        # (no per-step device->host fetch); the finished episode's block
+        # [T, N, V, h, w, 3] is popped by the sampler and consumed on device
+        # by the reward engine — the round trip the reference's host
+        # GL->feed_dict path paid every rollout (rllab/sampler/base.py:227-244)
+        # never happens
+        if device_frames and frame_backend != "tpu":
+            raise ValueError("device_frames requires the tpu raycast backend")
+        self.device_frames = device_frames
+        self._ep_frames: list = []
+        self._last_ep_frames = None
         # host copies of per-env randomized model fields (pushed to the pool
         # for physics/EGL; consumed directly by the raycast renderer)
         G = self.model.ngeom
@@ -204,6 +216,7 @@ class NativeVecTask:
             self._sync_model(i)
         self.sim.set_state(qpos, qvel)
         self.itr = 0
+        self._ep_frames = []
         self._reward_orig = np.ones(self.n_envs)
         return self._obs()
 
@@ -218,9 +231,19 @@ class NativeVecTask:
         # when a frame is rendered (sim/base.py::render does mj_forward first)
         self.sim.step(ctrl, self.frame_skip, forward=render_now)
         rewards, reward_true = self._post_step(pre, ctrl)
-        frames = self.render_frames() if render_now else None
+        frames = None
+        if render_now:
+            if self.device_frames:
+                self._ep_frames.append(self._render_frames_device())
+            else:
+                frames = self.render_frames()
         self.itr += 1
         done = self.itr >= self.max_path_length
+        if done and self.device_frames and self._ep_frames:
+            import jax.numpy as jnp
+
+            self._last_ep_frames = jnp.stack(self._ep_frames)  # [T,N,V,h,w,3]
+            self._ep_frames = []
         infos = [
             dict(
                 reward_true=float(reward_true[i]),
@@ -231,6 +254,18 @@ class NativeVecTask:
         obs = self.reset() if done else self._obs()
         out_r = rewards if self.config.dense_reward else np.zeros(self.n_envs)
         return obs, out_r, np.full(self.n_envs, done), infos
+
+    def _render_frames_device(self):
+        """Raycast-render the current vec-step and KEEP it on device."""
+        xpos, xmat = self.sim.geom_state()
+        return self._renderer.render_device(xpos, xmat, self.geom_rgba, self.cams)
+
+    def pop_episode_frames(self):
+        """Device frames of the episode that just finished, [T,N,V,h,w,3]
+        uint8 jax array (or None). Cleared on read — each block is consumed
+        exactly once by the sampler that observed the lockstep done."""
+        block, self._last_ep_frames = self._last_ep_frames, None
+        return block
 
     def render_frames(self) -> np.ndarray:
         """All envs x viewpoints in one batched call -> uint8 [N,V,h,w,3]."""

@@ -319,10 +319,10 @@ class TpuRenderer:
         self.spec = SceneSpec.from_model(model)
         self.h, self.w, self.ss = h, w, ss
 
-    def render(self, xpos, xmat, rgba, cams) -> np.ndarray:
-        """xpos [N,G,3], xmat [N,G,3,3], rgba [N,G,4], cams [N,V,6]
-        -> uint8 [N,V,h,w,3]. The (env, viewpoint) axes flatten into one
-        device batch; geom state broadcasts across viewpoints."""
+    def render_device(self, xpos, xmat, rgba, cams) -> jax.Array:
+        """Like :meth:`render` but returns the jax device array without the
+        blocking device->host fetch — frames stay resident for an on-device
+        consumer (the reward engine's scorer)."""
         n, v = cams.shape[:2]
         rep = lambda a: np.repeat(np.asarray(a, np.float32), v, axis=0) if v > 1 else np.asarray(a, np.float32)
         out = render_batch(
@@ -335,4 +335,10 @@ class TpuRenderer:
             self.w,
             self.ss,
         )
-        return np.asarray(out).reshape(n, v, self.h, self.w, 3)
+        return out.reshape(n, v, self.h, self.w, 3)
+
+    def render(self, xpos, xmat, rgba, cams) -> np.ndarray:
+        """xpos [N,G,3], xmat [N,G,3,3], rgba [N,G,4], cams [N,V,6]
+        -> uint8 [N,V,h,w,3]. The (env, viewpoint) axes flatten into one
+        device batch; geom state broadcasts across viewpoints."""
+        return np.asarray(self.render_device(xpos, xmat, rgba, cams))

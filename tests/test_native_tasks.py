@@ -307,3 +307,82 @@ def test_native_vec_egl_matches_python_frames():
     assert py_frames, "no frames compared"
     py.close()
     nv.close()
+
+
+def test_native_vec_device_frames_parity_and_pop():
+    """device_frames=True: infos carry no host frames, the lockstep episode
+    block pops as a [T,N,V,h,w,3] uint8 device array identical to the host
+    path's renders, and the buffer resets between episodes."""
+    import jax.numpy as jnp
+
+    cfg = _task_cfg("reacher3dof", 4, render_frames=True, image_size=(16, 16),
+                    dense_reward=False)
+    nv_host = make_native_vec("reacher3dof", 2, cfg, max_path_length=4,
+                              frame_backend="tpu")
+    nv_dev = make_native_vec("reacher3dof", 2, cfg, max_path_length=4,
+                             frame_backend="tpu", device_frames=True)
+    # identical scenes/state (same seed -> same reset draws)
+    nv_host.reset()
+    nv_dev.reset()
+    host_frames = []
+    a = np.zeros((2, 3))
+    for t in range(4):
+        _, _, _, infos_h = nv_host.step(a)
+        _, _, dones, infos_d = nv_dev.step(a)
+        assert infos_d[0]["frames"] is None  # never fetched to host
+        if infos_h[0]["frames"] is not None:
+            host_frames.append(np.stack([inf["frames"] for inf in infos_h]))
+    assert bool(dones[0])
+    block = nv_dev.pop_episode_frames()
+    assert nv_dev.pop_episode_frames() is None  # consumed exactly once
+    assert block.dtype == jnp.uint8 and block.shape == (2, 2, 1, 16, 16, 3)
+    want = np.stack(host_frames)  # [T, N, V, h, w, 3]
+    np.testing.assert_array_equal(np.asarray(block), want)
+    nv_host.close()
+    nv_dev.close()
+
+
+def test_sampler_engine_device_frames_end_to_end():
+    """VectorizedSampler attaches frames_dev on lockstep dones and the reward
+    engine splices the SAME rewards as the host-frames path over a real
+    native-vec rollout (two episodes per batch -> two blocks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from imitation_from_observation_tpu.core.config import (
+        RewardConfig, TranslationModelConfig,
+    )
+    from imitation_from_observation_tpu.models import build_model
+    from imitation_from_observation_tpu.reward import VisualRewardEngine
+    from imitation_from_observation_tpu.rl.sampler import VectorizedSampler
+
+    class _ZeroPolicy:
+        def get_actions(self, obs, key):
+            return np.zeros((len(obs), 3)), {"mean": np.zeros((len(obs), 3))}
+
+    mcfg = TranslationModelConfig(
+        model="context_skip", image_size=(16, 16), base_filters=8, feat_size=32
+    )
+    model = build_model(mcfg)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = model.init(jax.random.key(0), x, x, x)
+    demo = np.random.default_rng(3).uniform(-1, 1, (2, 4, 16, 16, 3)).astype(np.float32)
+
+    cfg = _task_cfg("reacher3dof", 4, render_frames=True, image_size=(16, 16),
+                    dense_reward=False)
+    rewards = {}
+    for dev in (False, True):
+        nv = make_native_vec("reacher3dof", 2, cfg, max_path_length=4,
+                             frame_backend="tpu", device_frames=dev)
+        sampler = VectorizedSampler(nv, _ZeroPolicy(), batch_size=16,
+                                    max_path_length=4, seed=0)
+        paths, _ = sampler.obtain_samples()
+        assert len(paths) == 4  # 2 lockstep episodes x 2 envs
+        assert all(("frames_dev" in p) == dev for p in paths)
+        eng = VisualRewardEngine(
+            RewardConfig(mode="ours", scale=0.5), mcfg, params=params, demo_data=demo
+        )
+        eng.process(paths)
+        rewards[dev] = np.stack([p["rewards"] for p in paths])
+        nv.close()
+    np.testing.assert_allclose(rewards[True], rewards[False], rtol=1e-4, atol=1e-4)

@@ -233,3 +233,64 @@ def test_sharded_scoring_matches_single_device():
     eng_b.process(paths_b)
     for pa, pb in zip(paths_a, paths_b):
         np.testing.assert_allclose(pa["rewards"], pb["rewards"], rtol=1e-4, atol=1e-4)
+
+
+def _paths_to_frames_dev(paths, n_blocks=1):
+    """Clone host-frame paths into the sampler's device-block layout
+    (VectorizedSampler.obtain_samples: path["frames_dev"] = (block, i),
+    block [T, N, V, ...] per lockstep episode)."""
+    out = []
+    per = (len(paths) + n_blocks - 1) // n_blocks
+    for b in range(n_blocks):
+        group = paths[b * per : (b + 1) * per]
+        if not group:
+            continue
+        stacks = [
+            np.stack([f for f in p["env_infos"]["frames"] if f is not None])
+            for p in group
+        ]
+        block = jnp.asarray(np.stack(stacks, axis=1))  # [T, N, V, ...]
+        for i, p in enumerate(group):
+            q = dict(
+                rewards=p["rewards"].copy(),
+                env_infos={
+                    "frames": [None] * len(p["env_infos"]["frames"]),
+                    "reward_true": p["env_infos"]["reward_true"],
+                },
+                frames_dev=(block, i),
+            )
+            out.append(q)
+    return out
+
+
+@pytest.mark.parametrize("n_blocks", [1, 2])
+def test_device_resident_frames_match_host_path(n_blocks):
+    """The device-resident scoring path (frames_dev blocks, no host restack)
+    must splice identical rewards to the host-frames path, including across
+    multiple lockstep-episode blocks in one batch."""
+    eng_a, params, demo, model = _engine_and_params()
+    paths_host = _make_paths(n_paths=4, seed=21)
+    paths_dev = _paths_to_frames_dev(paths_host, n_blocks=n_blocks)
+    eng_a.process(paths_host)
+
+    eng_b = VisualRewardEngine(
+        RewardConfig(mode="ours", scale=0.7), MODEL_CFG, params=params,
+        demo_data=demo, chunk_videos=4,
+    )
+    eng_b.process(paths_dev)
+    for pa, pb in zip(paths_host, paths_dev):
+        np.testing.assert_allclose(pa["rewards"], pb["rewards"], rtol=1e-4, atol=1e-4)
+
+
+def test_device_frames_truncated_path_bounds_T():
+    """A truncated final path (shorter rewards) bounds the scored frame count
+    for the whole batch, exactly like the host path's min-frame-count rule."""
+    eng, params, demo, model = _engine_and_params()
+    paths_host = _make_paths(n_paths=2, seed=22)
+    paths_dev = _paths_to_frames_dev(paths_host)
+    # truncate the second path's rewards to 4 steps -> frames j=0,1 scorable
+    paths_dev[1]["rewards"] = paths_dev[1]["rewards"][:4]
+    eng.process(paths_dev)
+    for p in paths_dev:
+        assert p["rewards"][3] != 0  # j=1 spliced (j=0 carries weight 0^2)
+        assert np.all(p["rewards"][5::2] == 0)  # j >= 2 untouched everywhere
