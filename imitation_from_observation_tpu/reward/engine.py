@@ -100,23 +100,30 @@ class VisualRewardEngine:
     # -- jitted pipelines --------------------------------------------------
     def _build_jits(self) -> None:
         model = self.model
+        # the engine's params are FROZEN after construction, so close them
+        # over the jits as compile-time constants instead of call arguments:
+        # on relay-attached devices every program invocation re-ships its
+        # argument buffers, and the ~150 MB param tree costs ~2 s PER CALL —
+        # baked in, it ships once at compile and per-iteration scoring is
+        # pure compute (measured 2.0 s -> 0.04 s for the 6,250-frame encode)
+        params = self.params
 
         if hasattr(model, "translate_one_ctx"):
             # warmup fast path: one shared agent context per viewpoint —
             # encode it ONCE per chunk instead of once per demo frame
             @jax.jit
-            def translate_chunk_ctx1(params, src, ctx1):
+            def translate_chunk_ctx1(src, ctx1):
                 return model.apply(params, src, ctx1, method="translate_one_ctx")
 
         else:
 
             @jax.jit
-            def translate_chunk_ctx1(params, src, ctx1):
+            def translate_chunk_ctx1(src, ctx1):
                 ctx_b = jnp.broadcast_to(ctx1, (src.shape[0], *ctx1.shape[1:]))
                 return model.apply(params, src, ctx_b, method="translate")
 
         @jax.jit
-        def score_paths(params, x, means, mean_imgs, scale):
+        def score_paths(x, means, mean_imgs, scale):
             """x [P, T, V, ...] in model space — or raw uint8 frames, which
             normalize ON DEVICE (ship 1/4 the bytes over PCIe/relay);
             means [V, T, F]; mean_imgs [V, T, ...] -> costs [P, T]."""
@@ -124,7 +131,7 @@ class VisualRewardEngine:
                 x = x.astype(jnp.float32) / 127.5 - 1.0
             P, T, V = x.shape[:3]
             flat = x.reshape(P * T * V, *x.shape[3:])
-            feats = model.apply(params, flat, method="encode")
+            feats = model.apply(params, flat, method="encode")  # params: baked constant
             feats = feats.reshape(P, T, V, -1).transpose(0, 2, 1, 3)  # [P,V,T,F]
             imgs = jnp.moveaxis(x, 2, 1)  # [P,V,T,...]
             feat_cost = jnp.sum((means[None] - feats) ** 2, axis=-1)  # [P,V,T]
@@ -139,7 +146,7 @@ class VisualRewardEngine:
             return jnp.sum(costs, axis=1)  # sum over viewpoints -> [P, T]
 
         @jax.jit
-        def recon_paths(params, x, context):
+        def recon_paths(x, context):
             """Autoencode agent frames through their own context; pixel L2 to
             the originals (the 'recon' ablation's image term). x [P,T,V,...]
             and context [V,...] in model space, or uint8 (normalized here)."""
@@ -193,7 +200,7 @@ class VisualRewardEngine:
                 vids = self._demos_to_model_space(self.demo_data[:, start : start + c])
                 n = vids.shape[1]
                 src = jnp.asarray(np.moveaxis(vids, 1, 0).reshape(n * T, *vids.shape[2:]))
-                z, out = self._translate_chunk_ctx1(self.params, src, ctx1)
+                z, out = self._translate_chunk_ctx1(src, ctx1)
                 zs.append(np.asarray(z, np.float32).reshape(n, T, -1))
                 outs.append(np.asarray(out, np.float32).reshape(n, T, *out.shape[1:]))
             z_all = np.concatenate(zs)  # [N, T, F]
@@ -292,16 +299,16 @@ class VisualRewardEngine:
             batch = jnp.asarray(batch)
 
         if self.cfg.ablation == "recon":
-            feat = np.asarray(self._score_paths(self.params, batch, means, mean_imgs, 0.0))
+            feat = np.asarray(self._score_paths(batch, means, mean_imgs, 0.0))
             recon = np.asarray(
                 self._recon_paths(
-                    self.params, batch, jnp.asarray(self._frames_to_model_space(ctx_u8))
+                    batch, jnp.asarray(self._frames_to_model_space(ctx_u8))
                 )
             )
             costs = feat + self.cfg.scale * recon
         else:
             costs = np.asarray(
-                self._score_paths(self.params, batch, means, mean_imgs, self.cfg.scale)
+                self._score_paths(batch, means, mean_imgs, self.cfg.scale)
             )
         # splice: rendered frame j came from env step 2j+1 (base.py:256-257)
         for p, cost in zip(paths, costs):
