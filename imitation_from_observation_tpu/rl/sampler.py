@@ -67,6 +67,8 @@ class VectorizedSampler:
         self.rng = RngStream(seed)
 
     def obtain_samples(self) -> tuple[list[dict[str, Any]], dict[str, float]]:
+        if hasattr(self.vec_env, "step_batch"):
+            return self._obtain_lockstep()
         n = self.vec_env.n_envs
         running: list[dict[str, list]] = [
             dict(observations=[], actions=[], rewards=[], env_infos=[], agent_infos=[])
@@ -110,6 +112,71 @@ class VectorizedSampler:
             if np.any(dones) and hasattr(self.policy, "reset_where"):
                 self.policy.reset_where(dones)  # recurrent state of restarted envs
             obs = next_obs
+        return paths, dict(PolicyExecTime=policy_time, EnvExecTime=env_time)
+
+    def _obtain_lockstep(self) -> tuple[list[dict[str, Any]], dict[str, float]]:
+        """Fast path for lockstep vec envs (``step_batch``): accumulate
+        step-level BATCH arrays and slice per-env paths only at episode end,
+        instead of fanning 250 info dicts + per-env list appends out on every
+        vec-step (the python overhead the reference paid in its per-worker
+        rollout loops, rllab/sampler/parallel_sampler.py:99-127). Produces
+        bit-identical paths to the generic loop (tested)."""
+        vec, n = self.vec_env, self.vec_env.n_envs
+        paths: list[dict[str, Any]] = []
+        n_steps = 0
+        policy_time = env_time = 0.0
+        obs = vec.reset()
+        obs_s: list = []
+        act_s: list = []
+        rew_s: list = []
+        rt_s: list = []
+        frm_s: list = []
+        ag_s: list = []
+        while n_steps < self.batch_size:
+            t0 = time.perf_counter()
+            actions, agent_infos = self.policy.get_actions(obs, self.rng.next())
+            t1 = time.perf_counter()
+            next_obs, rewards, done, info = vec.step_batch(actions)
+            t2 = time.perf_counter()
+            policy_time += t1 - t0
+            env_time += t2 - t1
+            obs_s.append(obs)
+            act_s.append(actions)
+            rew_s.append(rewards)
+            rt_s.append(info["reward_true"])
+            frm_s.append(info["frames"])
+            ag_s.append(agent_infos)
+            obs = next_obs
+            if done:
+                block = (
+                    vec.pop_episode_frames()
+                    if hasattr(vec, "pop_episode_frames")
+                    else None
+                )
+                O = np.stack(obs_s)
+                A = np.stack(act_s)
+                R = np.stack(rew_s)
+                RT = np.stack(rt_s)
+                AG = {k: np.stack([a[k] for a in ag_s]) for k in ag_s[0]}
+                T = len(rew_s)
+                for i in range(n):
+                    path = dict(
+                        observations=O[:, i],
+                        actions=A[:, i],
+                        rewards=np.asarray(R[:, i], np.float64),
+                        env_infos=dict(
+                            reward_true=RT[:, i],
+                            frames=[None if f is None else f[i] for f in frm_s],
+                        ),
+                        agent_infos={k: v[:, i] for k, v in AG.items()},
+                    )
+                    if block is not None:
+                        path["frames_dev"] = (block, i)
+                    paths.append(path)
+                    n_steps += T
+                obs_s, act_s, rew_s, rt_s, frm_s, ag_s = [], [], [], [], [], []
+                if hasattr(self.policy, "reset_where"):
+                    self.policy.reset_where(np.ones(n, bool))
         return paths, dict(PolicyExecTime=policy_time, EnvExecTime=env_time)
 
     @staticmethod

@@ -220,7 +220,12 @@ class NativeVecTask:
         self._reward_orig = np.ones(self.n_envs)
         return self._obs()
 
-    def step(self, actions: np.ndarray):
+    def step_batch(self, actions: np.ndarray):
+        """Lockstep vec-step WITHOUT per-env info-dict fanout:
+        -> (obs [N,...], rewards [N], done: bool, info) where info carries
+        batched arrays {reward_true [N], frames [N,V,h,w,3]|None}. The
+        sampler's lockstep fast path consumes this directly; :meth:`step`
+        wraps it into the per-env VecEnv contract."""
         a = np.clip(np.asarray(actions, np.float64), -1, 1)
         ctrl = self._ctrl_lo + (a + 1.0) * 0.5 * (self._ctrl_hi - self._ctrl_lo)
         pre = self._pre_step()
@@ -244,6 +249,13 @@ class NativeVecTask:
 
             self._last_ep_frames = jnp.stack(self._ep_frames)  # [T,N,V,h,w,3]
             self._ep_frames = []
+        obs = self.reset() if done else self._obs()
+        out_r = rewards if self.config.dense_reward else np.zeros(self.n_envs)
+        return obs, out_r, done, dict(reward_true=reward_true, frames=frames)
+
+    def step(self, actions: np.ndarray):
+        obs, out_r, done, info = self.step_batch(actions)
+        frames, reward_true = info["frames"], info["reward_true"]
         infos = [
             dict(
                 reward_true=float(reward_true[i]),
@@ -251,8 +263,6 @@ class NativeVecTask:
             )
             for i in range(self.n_envs)
         ]
-        obs = self.reset() if done else self._obs()
-        out_r = rewards if self.config.dense_reward else np.zeros(self.n_envs)
         return obs, out_r, np.full(self.n_envs, done), infos
 
     def _render_frames_device(self):

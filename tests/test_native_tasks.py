@@ -386,3 +386,49 @@ def test_sampler_engine_device_frames_end_to_end():
         rewards[dev] = np.stack([p["rewards"] for p in paths])
         nv.close()
     np.testing.assert_allclose(rewards[True], rewards[False], rtol=1e-4, atol=1e-4)
+
+
+def test_sampler_lockstep_fast_path_parity():
+    """_obtain_lockstep must produce identical paths (obs, actions, rewards,
+    env_infos, agent_infos, frames) to the generic per-env loop."""
+    from imitation_from_observation_tpu.rl.sampler import VectorizedSampler
+
+    class _DetPolicy:
+        def get_actions(self, obs, key):
+            a = np.tanh(np.asarray(obs)[:, :3] * 0.1)
+            return a, {"mean": a * 0.5}
+
+    class _HideFast:
+        """Wrap a lockstep env but hide step_batch -> generic sampler path."""
+        def __init__(self, env):
+            self._env = env
+        def __getattr__(self, k):
+            if k == "step_batch":
+                raise AttributeError(k)
+            return getattr(self._env, k)
+
+    cfg = _task_cfg("reacher3dof", 4, render_frames=True, image_size=(16, 16),
+                    dense_reward=False)
+    out = {}
+    for fast in (True, False):
+        nv = make_native_vec("reacher3dof", 3, cfg, max_path_length=4,
+                             frame_backend="tpu")
+        env = nv if fast else _HideFast(nv)
+        s = VectorizedSampler(env, _DetPolicy(), batch_size=20,
+                              max_path_length=4, seed=7)
+        out[fast], _ = s.obtain_samples()
+        nv.close()
+    assert len(out[True]) == len(out[False]) == 6  # 2 episodes x 3 envs
+    for pf, pg in zip(out[True], out[False]):
+        np.testing.assert_array_equal(pf["observations"], pg["observations"])
+        np.testing.assert_array_equal(pf["actions"], pg["actions"])
+        np.testing.assert_array_equal(pf["rewards"], pg["rewards"])
+        assert pf["rewards"].dtype == pg["rewards"].dtype
+        np.testing.assert_array_equal(
+            pf["env_infos"]["reward_true"], pg["env_infos"]["reward_true"])
+        for ff, fg in zip(pf["env_infos"]["frames"], pg["env_infos"]["frames"]):
+            assert (ff is None) == (fg is None)
+            if ff is not None:
+                np.testing.assert_array_equal(ff, fg)
+        for k in pg["agent_infos"]:
+            np.testing.assert_array_equal(pf["agent_infos"][k], pg["agent_infos"][k])
