@@ -52,7 +52,9 @@ def demo_level(task: str) -> float:
 
 
 def main() -> None:
-    fig, axes = plt.subplots(1, len(TASKS), figsize=(3.5 * len(TASKS), 3.4), sharey=True)
+    # throw's reward_true lives on its own scale (~-3.5..-0.7): the first
+    # four panels share (-1.3, 0.05); throw gets its own axis
+    fig, axes = plt.subplots(1, len(TASKS), figsize=(3.5 * len(TASKS), 3.4))
     fig.patch.set_facecolor(SURFACE)
     rows = []
     for ax, task in zip(axes, TASKS):
@@ -89,7 +91,12 @@ def main() -> None:
         ax.grid(True, color=GRID, lw=0.6)
         for s in ax.spines.values():
             s.set_color(GRID)
-        ax.set_ylim(-1.3, 0.05)
+        if task == "throw":
+            ax.set_ylim(-4.0, 0.05)
+        else:
+            ax.set_ylim(-1.3, 0.05)
+            if task != "reach":
+                ax.tick_params(labelleft=False)
         rows.append(
             dict(
                 task=task,

@@ -3,13 +3,13 @@
 The reference launchers loop ``for nvar in range(10)`` drawing a FRESH
 random context per variant and run one RL experiment in each
 (run_trpo_reach.py:102-104); the paper's curves aggregate mean±std across
-them (plots.ipynb). This runs 3 variants (seeds 11/12/13) of the visual-RL
-leg against the ALREADY-trained reach_full_recipe model + demos, 60
-iterations each, plus matching oracle legs — enough to report mean±std and
-show the result isn't a lucky context draw.
+them (plots.ipynb). This runs the reference's full nvar=10 — ten fresh context draws
+(seeds 10..19) of the visual-RL leg against the ALREADY-trained
+reach_full_recipe model + demos, 100 iterations each (affordable at the
+~1.5 s/iteration reached in round 3) — reporting mean±std across draws
+exactly as the paper's curves aggregate.
 
-Artifacts -> examples/results/reach_variants/{v11,v12,v13}{,_oracle} +
-aggregate plot + summary.json.
+Artifacts -> examples/results/reach_variants/v{seed}/ + summary.json.
 """
 import json
 import os
@@ -28,8 +28,8 @@ from imitation_from_observation_tpu.exp.launchers import (
 BASE = os.path.join(os.path.dirname(__file__), "results", "reach_full_recipe")
 LOG = os.path.join(os.path.dirname(__file__), "results", "reach_variants")
 N_TRAIN = 1600
-RL_ITERS = 60
-SEEDS = [11, 12, 13]
+RL_ITERS = 100
+SEEDS = list(range(10, 20))
 
 ckpt_dir = os.path.join(BASE, "translation", "checkpoints", "100000")
 ckpt = [f[:-4] for f in os.listdir(ckpt_dir) if f.endswith(".npz")][0]
