@@ -76,6 +76,26 @@ def main() -> None:
                 "ReturnTrue",
             )
             ax.plot(tpil, color=C_TPIL, lw=2, label="TPIL baseline", zorder=2)
+            # mean±std across the reference's nvar=10 fresh context draws
+            # (reach_variants_seeds.py) — the aggregation plots.ipynb uses
+            vglob = sorted(
+                d for d in os.listdir(os.path.join(RES, "reach_variants"))
+                if d.startswith("v")
+            ) if os.path.isdir(os.path.join(RES, "reach_variants")) else []
+            curves = []
+            for v in vglob:
+                p = os.path.join(RES, "reach_variants", v, "rl", "progress.csv")
+                if os.path.isfile(p):
+                    curves.append(read_col(p, "ReturnTrue"))
+            if len(curves) >= 3:
+                n = min(len(c) for c in curves)
+                arr = np.stack([c[:n] for c in curves])
+                ax.fill_between(
+                    np.arange(n), arr.mean(0) - arr.std(0), arr.mean(0) + arr.std(0),
+                    color=C_OURS, alpha=0.18, lw=0, zorder=1,
+                    label=f"ours, {len(curves)} context draws (±std)",
+                )
+                ax.plot(arr.mean(0), color=C_OURS, lw=1.2, ls=(0, (2, 2)), zorder=2)
         if task == "strike":
             # same visual reward, goal-ALIGNED context draw (seed 93) — the
             # "lucky draw" side of the reference's nvar protocol
@@ -157,6 +177,21 @@ def main() -> None:
         f"(`tpil_reference_scale/`) vs ours -0.255 — the paper's ordering",
         "(ours > TPIL) reproduces in-rebuild.",
         "",
+    ]
+    vsum = os.path.join(RES, "reach_variants", "summary.json")
+    if os.path.isfile(vsum):
+        with open(vsum) as f:
+            agg = json.load(f)["aggregate"]
+        lines += [
+            "Robustness across context draws (the reference's nvar=10 loop,",
+            "`reach_variants/`): best ReturnTrue "
+            f"{agg['best_mean']:.3f} ± {agg['best_std']:.3f} over 10 fresh",
+            f"draws, max SuccessRate {agg['success_mean']:.2f} ± "
+            f"{agg['success_std']:.2f} — the headline reach result is not a",
+            "lucky context.",
+            "",
+        ]
+    lines += [
         "Strike's flat visual leg is a property of the reference's own",
         "protocol (demo goal vs drawn RL goal); see",
         "`strike_full_recipe/NOTES.md` and the aligned-draw leg",
