@@ -1,0 +1,78 @@
+"""Sweep visual-RL across context variants — the reference's nvar protocol.
+
+Same design as reach_variants_seeds.py: the reference loops
+``for nvar in range(10)`` drawing a FRESH random context per variant
+(run_trpo_sweep_ours.py) and the paper aggregates mean±std across them.
+Sweep's context draw varies only the viewpoint (run_trpo_sweep_ours.py);
+six fresh draws (seeds 10..15) of the RL-only leg against the
+ALREADY-trained sweep_full_recipe model + demos, 100 iterations each —
+tests whether the headline sweep draw (best -0.783 at 100 iters) is
+viewpoint-robust.
+
+Artifacts -> examples/results/sweep_variants/v{seed}/ + summary.json.
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from imitation_from_observation_tpu.core.config import preset
+from imitation_from_observation_tpu.exp.launchers import (
+    run_visual_trpo,
+    sample_rl_context,
+)
+
+BASE = os.path.join(os.path.dirname(__file__), "results", "sweep_full_recipe")
+LOG = os.path.join(os.path.dirname(__file__), "results", "sweep_variants")
+N_TRAIN = 800
+RL_ITERS = 100
+SEEDS = list(range(10, 16))
+
+ckpt_dir = os.path.join(BASE, "translation", "checkpoints", max(os.listdir(os.path.join(BASE, "translation", "checkpoints")), key=int))
+ckpt = [f[:-4] for f in os.listdir(ckpt_dir) if f.endswith(".npz")][0]
+vdata = np.load(os.path.join(BASE, "translation", "vdata.npy"), mmap_mode="r")
+demo_data = np.asarray(vdata[:, N_TRAIN:], np.float32)
+
+base_cfg = preset("sweep")
+summary = {}
+for seed in SEEDS:
+    ctx = sample_rl_context("sweep", seed=seed)
+    cfg = base_cfg.replace(
+        name=f"sweep_v{seed}",
+        log_dir=os.path.join(LOG, f"v{seed}"),
+        env=base_cfg.env.replace(horizon=50, frame_backend="tpu", **ctx),
+        rl=base_cfg.rl.replace(
+            batch_size=12500, max_path_length=50, n_envs=250, n_iters=RL_ITERS,
+            init_std=10.0, snapshot_mode="none", seed=seed,
+        ),
+        reward=base_cfg.reward.replace(
+            mode="ours", scale=1.0, model_checkpoint=os.path.join(ckpt_dir, ckpt)
+        ),
+    )
+    os.makedirs(cfg.log_dir, exist_ok=True)
+    with open(os.path.join(cfg.log_dir, "variant.json"), "w") as f:
+        json.dump({"variant": seed, "mode": "ours"}, f)
+    _, hist = run_visual_trpo(cfg, demo_data=demo_data)
+    rt = [h["ReturnTrue"] for h in hist]
+    sr = [h["SuccessRate"] for h in hist]
+    summary[f"v{seed}"] = dict(
+        best=max(rt), best_iter=int(np.argmax(rt)), last10=float(np.mean(rt[-10:])),
+        first10=float(np.mean(rt[:10])), max_success=max(sr),
+    )
+    print(f"[v{seed}] first10 {np.mean(rt[:10]):.4f} best {max(rt):.4f} "
+          f"last10 {np.mean(rt[-10:]):.4f} maxSuccess {max(sr):.2f}")
+
+bests = [summary[f"v{s}"]["best"] for s in SEEDS]
+succ = [summary[f"v{s}"]["max_success"] for s in SEEDS]
+impr = [summary[f"v{s}"]["best"] - summary[f"v{s}"]["first10"] for s in SEEDS]
+summary["aggregate"] = dict(
+    best_mean=float(np.mean(bests)), best_std=float(np.std(bests)),
+    success_mean=float(np.mean(succ)), success_std=float(np.std(succ)),
+    improvement_mean=float(np.mean(impr)), improvement_std=float(np.std(impr)),
+)
+with open(os.path.join(LOG, "summary.json"), "w") as f:
+    json.dump(summary, f, indent=1)
+print(json.dumps(summary["aggregate"], indent=1))
