@@ -1,0 +1,91 @@
+"""Throw full recipe with a STRONG self-trained expert — beyond the reference.
+
+`throw_full_recipe/` isolated demo quality as throw's controlling variable:
+the reference's shipped `expert_thrower.pkl` averages ReturnTrue -3.42,
+while the oracle control at the same budget reaches -0.72 — so a faithful
+visual-imitation reward converges to the (poor) demo level. The reference
+never fixed this (its plots notebook ships no thrower results).
+
+This run replaces only the DATA: train our own thrower expert with TRPO on
+the dense shaped reward at the full RL budget (goal randomized per episode
+— the obs includes the goal COM, so the expert generalizes), then run the
+identical full recipe (2,000 demo videos, 100k translation steps, visual
+TRPO batch 12,500 x 150 in the same seed-1 fixed context). If the visual
+leg lands near the new demo level, the round-3 conclusion is confirmed
+constructively: the machinery imitates whatever is demonstrated — give it
+better demonstrations than the reference's and it beats the reference's
+ceiling. Oracle control: `throw_full_recipe/oracle_rl/` (same context and
+budget; not rerun).
+
+Artifacts -> examples/results/throw_strong_expert/ + summary.json.
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from imitation_from_observation_tpu.core.config import RLConfig, preset
+from imitation_from_observation_tpu.exp.launchers import (
+    run_pipeline,
+    sample_rl_context,
+)
+from imitation_from_observation_tpu.exp.train_expert import train_expert
+
+LOG = os.path.join(os.path.dirname(__file__), "results", "throw_strong_expert")
+EXPERT = os.path.join(LOG, "expert_strong")
+
+if not os.path.exists(EXPERT + ".npz"):
+    train_expert(
+        "thrower",
+        EXPERT,
+        rl=RLConfig(
+            batch_size=12500, max_path_length=50, n_iters=150, n_envs=250,
+            init_std=1.0, snapshot_mode="none", seed=0,
+        ),
+        env_overrides=dict(horizon=50),
+        log_dir=os.path.join(LOG, "expert_rl"),
+    )
+
+rl_context = sample_rl_context("throw", seed=1)  # identical to throw_full_recipe
+cfg = preset("throw")
+cfg = cfg.replace(
+    name="throw_strong_expert",
+    log_dir=LOG,
+    env=cfg.env.replace(horizon=50, frame_backend="tpu"),
+    train=cfg.train.replace(
+        batch_size=100, steps_per_call=50, eval_every=5000,
+        save_every=25000, log_every=5000, learning_rate=1e-4,
+    ),
+    rl=cfg.rl.replace(
+        batch_size=12500, max_path_length=50, n_envs=250, n_iters=150,
+        init_std=10.0, snapshot_mode="none", seed=0,
+    ),
+    reward=cfg.reward.replace(mode="ours", scale=0.1),
+)
+
+out = run_pipeline(
+    "thrower", LOG,
+    n_demos=2000, translation_iters=100_000, rl_iters=150,
+    scale=0.1, seed=0, cfg=cfg, expert_npz=EXPERT, rl_context=rl_context,
+)
+
+rt = [h["ReturnTrue"] for h in out["history"]]
+sr = [h["SuccessRate"] for h in out["history"]]
+with open(os.path.join(LOG, "videos", "stats.json")) as f:
+    demo_level = float(np.mean(json.load(f)["episode_true_rewards"]))
+summary = dict(
+    context={k: str(v) for k, v in rl_context.items()},
+    demo_mean_return_true=demo_level,
+    reference_expert_demo_level=-3.424,  # throw_full_recipe/videos/stats.json
+    oracle_best=-0.718,                  # throw_full_recipe/oracle_rl (same budget)
+    visual=dict(
+        first10=float(np.mean(rt[:10])), last10=float(np.mean(rt[-10:])),
+        best=max(rt), best_iter=int(np.argmax(rt)), max_success=max(sr),
+    ),
+)
+with open(os.path.join(LOG, "summary.json"), "w") as f:
+    json.dump(summary, f, indent=1)
+print(json.dumps(summary, indent=1))
