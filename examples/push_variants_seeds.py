@@ -35,6 +35,24 @@ ckpt = [f[:-4] for f in os.listdir(ckpt_dir) if f.endswith(".npz")][0]
 vdata = np.load(os.path.join(BASE, "translation", "vdata.npy"), mmap_mode="r")
 demo_data = np.asarray(vdata[:, N_TRAIN:], np.float32)
 
+def done_rows(log_dir):
+    """Completed-leg rows from progress.csv (resume support: a transient
+    relay failure mid-study should not force finished seeds to rerun)."""
+    import csv
+
+    p = os.path.join(log_dir, "rl", "progress.csv")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        rows = list(csv.DictReader(f))
+    if len(rows) < RL_ITERS:
+        return None
+    return [
+        {"ReturnTrue": float(r["ReturnTrue"]), "SuccessRate": float(r["SuccessRate"])}
+        for r in rows
+    ]
+
+
 base_cfg = preset("push")
 summary = {}
 for seed in SEEDS:
@@ -51,10 +69,12 @@ for seed in SEEDS:
             mode="ours", scale=1.0, model_checkpoint=os.path.join(ckpt_dir, ckpt)
         ),
     )
-    os.makedirs(cfg.log_dir, exist_ok=True)
-    with open(os.path.join(cfg.log_dir, "variant.json"), "w") as f:
-        json.dump({"variant": seed, "mode": "ours"}, f)
-    _, hist = run_visual_trpo(cfg, demo_data=demo_data)
+    hist = done_rows(cfg.log_dir)
+    if hist is None:
+        os.makedirs(cfg.log_dir, exist_ok=True)
+        with open(os.path.join(cfg.log_dir, "variant.json"), "w") as f:
+            json.dump({"variant": seed, "mode": "ours"}, f)
+        _, hist = run_visual_trpo(cfg, demo_data=demo_data)
     rt = [h["ReturnTrue"] for h in hist]
     sr = [h["SuccessRate"] for h in hist]
     summary[f"v{seed}"] = dict(
