@@ -1,0 +1,137 @@
+"""Real-pusher config at the reference's FULL real budget — completes the
+full-recipe matrix (6th of 6 task families).
+
+The reference's real experiment (sandbox/andrew/run_trpo.py:21,154) ran
+TRPO at batch 25,000 x 200 iterations over a measured physical scene, with
+demo videos from a real robot and the small ContextAEReal model at 36x64
+(arm_shaping.py:1599-1684). This sim stand-in keeps every protocol element
+that exists in-sim:
+
+  - the measured scene 3 camera/object/goal constants (run_trpo.py:83-95),
+    pinned for demos AND RL like real_demo/real_nvp2_demo
+  - nvp=2 scoring (second azimuth 40 deg away) — real_nvp2_demo proved it
+    removes the single-view appearance-only exploit that made round-2's
+    real_demo REGRESS
+  - a strong self-trained expert at the full RL budget (the proof-budget
+    stand-in expert only reached mean reward_true -0.81 in this hard
+    scene; demo quality caps visual imitation — throw_strong_expert)
+  - 2,000 demo videos, 100k translation steps (train_script.py:128,163),
+    oracle control at the identical budget/scene
+
+The expert and oracle legs check their artifacts before running, so a
+transient relay failure before the pipeline stage can be retried by
+re-running the script without repeating them.
+
+Artifacts -> examples/results/real_full_recipe/ + summary.json.
+"""
+import csv
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from imitation_from_observation_tpu.core.config import RLConfig, preset
+from imitation_from_observation_tpu.exp.launchers import run_pipeline, run_visual_trpo
+from imitation_from_observation_tpu.exp.train_expert import train_expert
+
+LOG = os.path.join(os.path.dirname(__file__), "results", "real_full_recipe")
+EXPERT = os.path.join(LOG, "expert_strong")
+
+# measured scene 3 of run_trpo.py:83-95 with a second azimuth 40 deg away
+# (same constants as real_nvp2_demo.py)
+SCENE = dict(
+    cam_dist=2.1177303054204777,
+    goal=(-0.46625543263065705, 0.0),
+    object_pos=(-0.2661080002347772, 0.0),
+    view_angle=60.2010815701377,
+    viewpoint=(98.81026264082921, 138.81026264082921),
+    n_viewpoints=2,
+)
+RL_ITERS = 200
+BATCH = 25_000  # run_trpo.py:21 ("real" used 500 paths x 50)
+
+
+def summarize(history, label):
+    rt = [h["ReturnTrue"] for h in history]
+    sr = [h.get("SuccessRate", 0.0) for h in history]
+    best_i = int(np.argmax(rt))
+    out = dict(
+        label=label,
+        first10_mean=float(np.mean(rt[:10])), last10_mean=float(np.mean(rt[-10:])),
+        best=rt[best_i], best_iter=best_i,
+        best_success=sr[best_i], max_success=max(sr),
+    )
+    print(f"[{label}] first10 {out['first10_mean']:.4f} -> last10 "
+          f"{out['last10_mean']:.4f}, best {out['best']:.4f} @ itr {best_i} "
+          f"(maxSuccess {out['max_success']:.2f})")
+    return out
+
+
+def done_rows(log_dir, n):
+    p = os.path.join(log_dir, "rl", "progress.csv")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        rows = list(csv.DictReader(f))
+    if len(rows) < n:
+        return None
+    return [{"ReturnTrue": float(r["ReturnTrue"]),
+             "SuccessRate": float(r["SuccessRate"])} for r in rows]
+
+
+if not os.path.exists(EXPERT + ".npz"):
+    train_expert(
+        "pusher3dofreal",
+        EXPERT,
+        rl=RLConfig(
+            batch_size=12500, max_path_length=50, n_iters=150, n_envs=250,
+            init_std=1.0, snapshot_mode="none", seed=0,
+        ),
+        env_overrides=dict(horizon=50, **SCENE),
+        log_dir=os.path.join(LOG, "expert_rl"),
+    )
+
+cfg = preset("real")
+cfg = cfg.replace(
+    name="real_full_recipe",
+    log_dir=LOG,
+    env=cfg.env.replace(horizon=50, frame_backend="tpu", **SCENE),
+    train=cfg.train.replace(
+        batch_size=100, steps_per_call=50, eval_every=5000,
+        save_every=25000, log_every=5000, learning_rate=1e-4,
+    ),
+    rl=cfg.rl.replace(
+        batch_size=BATCH, max_path_length=50, n_envs=500, n_iters=RL_ITERS,
+        init_std=10.0, snapshot_mode="none", seed=0,
+    ),
+    reward=cfg.reward.replace(mode="ours", scale=0.01),
+)
+
+results = {"scene": {k: str(v) for k, v in SCENE.items()}}
+
+# stage 0: oracle control at the identical budget/scene
+oracle_dir = os.path.join(LOG, "oracle_rl")
+oracle_hist = done_rows(oracle_dir, RL_ITERS)
+if oracle_hist is None:
+    _, oracle_hist = run_visual_trpo(
+        cfg.replace(log_dir=oracle_dir, reward=cfg.reward.replace(mode="oracle"))
+    )
+results["oracle"] = summarize(oracle_hist, "real oracle control")
+
+out = run_pipeline(
+    "pusher3dofreal", LOG,
+    n_demos=2000, translation_iters=100_000, rl_iters=RL_ITERS,
+    scale=0.01, seed=0, cfg=cfg, expert_npz=EXPERT,
+)
+results["visual"] = summarize(out["history"], "real visual (ours, nvp=2)")
+
+with open(os.path.join(LOG, "videos", "stats.json")) as f:
+    results["demo_mean_return_true"] = float(
+        np.mean(json.load(f)["episode_true_rewards"])
+    )
+with open(os.path.join(LOG, "summary.json"), "w") as f:
+    json.dump(results, f, indent=1)
+print(json.dumps(results, indent=1))
