@@ -35,8 +35,14 @@ TEXT2 = "#52514e"
 GRID = "#e6e5e1"
 
 TASKS = ["reach", "push", "sweep", "strike"]
-if os.path.isfile(os.path.join(RES, "throw_full_recipe", "rl", "progress.csv")):
-    TASKS.append("throw")
+for extra, run in (("throw", "throw_full_recipe"), ("real", "real_full_recipe")):
+    if os.path.isfile(os.path.join(RES, run, "rl", "progress.csv")):
+        TASKS.append(extra)
+
+# per-task context-draw studies (the reference's nvar loop): run dir +
+# subdir prefix; plotted as a mean±std band when >=3 draws exist
+VARIANT_RUNS = {"reach": ("reach_variants", "v"), "push": ("push_variants", "v"),
+                "sweep": ("sweep_variants", "v"), "strike": ("strike_goal_study", "s")}
 
 
 def read_col(path: str, col: str) -> np.ndarray:
@@ -76,26 +82,42 @@ def main() -> None:
                 "ReturnTrue",
             )
             ax.plot(tpil, color=C_TPIL, lw=2, label="TPIL baseline", zorder=2)
-            # mean±std across the reference's nvar=10 fresh context draws
-            # (reach_variants_seeds.py) — the aggregation plots.ipynb uses
+        # mean±std across fresh context draws (the reference's nvar
+        # aggregation, plots.ipynb) wherever a variant study exists
+        if task in VARIANT_RUNS:
+            vdir, prefix = VARIANT_RUNS[task]
             vglob = sorted(
-                d for d in os.listdir(os.path.join(RES, "reach_variants"))
-                if d.startswith("v")
-            ) if os.path.isdir(os.path.join(RES, "reach_variants")) else []
+                d for d in os.listdir(os.path.join(RES, vdir))
+                if d.startswith(prefix)
+            ) if os.path.isdir(os.path.join(RES, vdir)) else []
             curves = []
             for v in vglob:
-                p = os.path.join(RES, "reach_variants", v, "rl", "progress.csv")
+                p = os.path.join(RES, vdir, v, "rl", "progress.csv")
                 if os.path.isfile(p):
                     curves.append(read_col(p, "ReturnTrue"))
+            if curves:  # drop partial legs (crashed mid-run) from the band
+                full = max(len(c) for c in curves)
+                curves = [c for c in curves if len(c) == full]
             if len(curves) >= 3:
                 n = min(len(c) for c in curves)
                 arr = np.stack([c[:n] for c in curves])
                 ax.fill_between(
                     np.arange(n), arr.mean(0) - arr.std(0), arr.mean(0) + arr.std(0),
                     color=C_OURS, alpha=0.18, lw=0, zorder=1,
-                    label=f"ours, {len(curves)} context draws (±std)",
+                    label="ours, fresh context draws (±std)",
                 )
                 ax.plot(arr.mean(0), color=C_OURS, lw=1.2, ls=(0, (2, 2)), zorder=2)
+        if task == "throw":
+            p = os.path.join(RES, "throw_strong_expert", "rl", "progress.csv")
+            if os.path.isfile(p):
+                strong = read_col(p, "ReturnTrue")
+                ax.plot(strong, color=C_TPIL, lw=1.8, ls=(0, (4, 2)), zorder=3,
+                        label="ours, strong self-trained demos")
+                sp = os.path.join(RES, "throw_strong_expert", "summary.json")
+                if os.path.isfile(sp):
+                    with open(sp) as f:
+                        lvl = json.load(f)["demo_mean_return_true"]
+                    ax.axhline(lvl, color=C_TPIL, lw=1.0, ls=(0, (1, 2)), zorder=1)
         if task == "strike":
             # same visual reward, goal-ALIGNED context draw (seed 93) — the
             # "lucky draw" side of the reference's nvar protocol
@@ -113,6 +135,8 @@ def main() -> None:
             s.set_color(GRID)
         if task == "throw":
             ax.set_ylim(-4.0, 0.05)
+        elif task == "real":
+            ax.set_ylim(-1.6, 0.05)
         else:
             ax.set_ylim(-1.3, 0.05)
             if task != "reach":
@@ -170,25 +194,36 @@ def main() -> None:
         )
     with open(os.path.join(RES, "tpil_reference_scale", "summary.json")) as f:
         tp = json.load(f)
+    reach_best = next(r["ours_best"] for r in rows if r["task"] == "reach")
     lines += [
         "",
         "Baseline (paper's central comparison, reach): TPIL at the reference's",
         f"500x50 budget reaches best ReturnTrue {tp['best']:.3f} "
-        f"(`tpil_reference_scale/`) vs ours -0.255 — the paper's ordering",
-        "(ours > TPIL) reproduces in-rebuild.",
+        f"(`tpil_reference_scale/`) vs ours {reach_best:.3f} — the paper's",
+        "ordering (ours > TPIL) reproduces in-rebuild.",
         "",
     ]
-    vsum = os.path.join(RES, "reach_variants", "summary.json")
-    if os.path.isfile(vsum):
+    var_rows = []
+    for task, (vdir, _) in VARIANT_RUNS.items():
+        vsum = os.path.join(RES, vdir, "summary.json")
+        if task == "strike" or not os.path.isfile(vsum):
+            continue  # strike's goal study aggregates differently (below)
         with open(vsum) as f:
-            agg = json.load(f)["aggregate"]
+            s = json.load(f)
+        agg = s["aggregate"]
+        n_draws = len([k for k in s if k != "aggregate"])
+        var_rows.append(
+            f"| {task} | {n_draws} | {agg['best_mean']:.3f} ± {agg['best_std']:.3f} | "
+            f"{agg['success_mean']:.2f} ± {agg['success_std']:.2f} |"
+        )
+    if var_rows:
         lines += [
-            "Robustness across context draws (the reference's nvar=10 loop,",
-            "`reach_variants/`): best ReturnTrue "
-            f"{agg['best_mean']:.3f} ± {agg['best_std']:.3f} over 10 fresh",
-            f"draws, max SuccessRate {agg['success_mean']:.2f} ± "
-            f"{agg['success_std']:.2f} — the headline reach result is not a",
-            "lucky context.",
+            "Robustness across context draws (the reference's nvar loop —",
+            "each draw is a FRESH scene for the same trained model/demos):",
+            "",
+            "| Task | draws | best ReturnTrue (mean ± std) | max SuccessRate |",
+            "|---|---|---|---|",
+            *var_rows,
             "",
         ]
     lines += [
@@ -197,7 +232,26 @@ def main() -> None:
         "ReturnTrue in 6 of 7 (+0.16..+0.28), with absolute attainment",
         "degrading only for far-drawn goals (`strike_goal_study/NOTES.md`).",
         "",
+        "Budget/viewpoint controls: push with nvp=2 at 250 iterations tracks",
+        "the single-view curve through 150 then creeps to -0.577/0.14",
+        "(`push_full_recipe/rl_nvp2/`); sweep at 300 iterations plateaus at",
+        "-0.78, isolating reward-signal quality rather than RL budget as its",
+        "gap (`sweep_full_recipe/rl_300/`). Throw with strong self-trained",
+        "demos replaces the reference's weak expert (-3.42 demo level) —",
+        "see `throw_strong_expert/` when present.",
+        "",
     ]
+    rsum = os.path.join(RES, "real_full_recipe", "summary.json")
+    if os.path.isfile(rsum):
+        with open(rsum) as f:
+            rs = json.load(f)
+        lines += [
+            "Real-pusher config at the reference's own budget (batch 25,000 x",
+            f"200, nvp=2, measured scene): oracle best {rs['oracle']['best']:.3f},",
+            f"visual best {rs['visual']['best']:.3f} from demos at "
+            f"{rs['demo_mean_return_true']:.3f} (`real_full_recipe/`).",
+            "",
+        ]
     with open(os.path.join(RES, "RESULTS.md"), "w") as f:
         f.write("\n".join(lines))
     print("wrote", os.path.join(RES, "RESULTS.md"))
