@@ -360,8 +360,13 @@ def test_sampler_engine_device_frames_end_to_end():
         def get_actions(self, obs, key):
             return np.zeros((len(obs), 3)), {"mean": np.zeros((len(obs), 3))}
 
+    # float32 compute: the device-frames and host-frames paths compile two
+    # DIFFERENT programs (uint8-normalizing vs float input), and bf16
+    # reduction-order differences between them can exceed the 1e-4 band —
+    # the test checks gather/splice equivalence, not bf16 fusion bitexactness
     mcfg = TranslationModelConfig(
-        model="context_skip", image_size=(16, 16), base_filters=8, feat_size=32
+        model="context_skip", image_size=(16, 16), base_filters=8, feat_size=32,
+        dtype="float32",
     )
     model = build_model(mcfg)
     x = jnp.zeros((1, 16, 16, 3), jnp.float32)
