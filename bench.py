@@ -46,6 +46,41 @@ CPU_CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE_CPU.json"
 )
 
+# The axon TPU relay can die for hours (see CLAUDE.md). A dead relay makes
+# backend init hang indefinitely IN-PROCESS, so health must be probed in a
+# subprocess with a timeout, and the whole bench must be gated on it —
+# otherwise the driver's round-end bench run hangs forever.
+_PROBE_CODE = (
+    "import jax, jax.numpy as jnp\n"
+    "assert jax.devices()[0].platform != 'cpu', 'no accelerator registered'\n"
+    "assert float(jnp.ones(8).sum()) == 8.0\n"
+)
+
+
+def wait_for_tpu(max_wait_s: float, probe_timeout_s: float = 180.0) -> bool:
+    """Block until a tiny TPU op succeeds, up to ``max_wait_s``. Returns
+    whether the relay is healthy. Probes run in subprocesses because a dead
+    relay hangs backend init un-interruptibly in-process."""
+    deadline = time.time() + max_wait_s
+    first = True
+    while True:
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", _PROBE_CODE],
+                timeout=probe_timeout_s,
+                capture_output=True,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return True
+        if first:
+            print("bench: TPU relay unhealthy, waiting...", file=sys.stderr)
+            first = False
+        if time.time() >= deadline:
+            return False
+        time.sleep(min(60.0, max(1.0, deadline - time.time())))
+
 
 def measure(
     platform: str | None = None,
@@ -289,6 +324,24 @@ def cpu_baseline() -> float:
 
 
 def main() -> None:
+    # Gate on relay health (default: wait up to 1h, override via
+    # BENCH_RELAY_MAX_WAIT seconds; 0 skips the probe entirely). If the relay
+    # never comes back, emit an explicit-null JSON line rather than hanging.
+    max_wait = float(os.environ.get("BENCH_RELAY_MAX_WAIT", "3600"))
+    if max_wait > 0 and not wait_for_tpu(max_wait):
+        print(
+            json.dumps(
+                {
+                    "metric": "translated_frames_per_sec_per_chip",
+                    "value": None,
+                    "unit": "frames/s",
+                    "vs_baseline": None,
+                    "error": "TPU relay unhealthy for the full bench wait "
+                    f"window ({max_wait:.0f}s); see CLAUDE.md relay-death note",
+                }
+            )
+        )
+        return
     fps = measure()
     try:
         base = cpu_baseline()
