@@ -232,15 +232,29 @@ def main() -> None:
         "ReturnTrue in 6 of 7 (+0.16..+0.28), with absolute attainment",
         "degrading only for far-drawn goals (`strike_goal_study/NOTES.md`).",
         "",
-        "Budget/viewpoint controls: push with nvp=2 at 250 iterations tracks",
-        "the single-view curve through 150 then creeps to -0.577/0.14",
-        "(`push_full_recipe/rl_nvp2/`); sweep at 300 iterations plateaus at",
-        "-0.78, isolating reward-signal quality rather than RL budget as its",
-        "gap (`sweep_full_recipe/rl_300/`). Throw with strong self-trained",
-        "demos replaces the reference's weak expert (-3.42 demo level) —",
-        "see `throw_strong_expert/` when present.",
+        "Budget/scale controls: a push rerun at doubled reward scale and 250",
+        "iterations tracks the single-view curve through 150 then creeps to",
+        "-0.577/0.14 (`push_full_recipe/rl_x2scale/` — launched as nvp=2 but",
+        "a scalar-azimuth config duplicated the camera, see its NOTES);",
+        "sweep at 300 iterations plateaus at -0.78, isolating reward-signal",
+        "quality rather than RL budget as its gap (`sweep_full_recipe/",
+        "rl_300/`). Throw with strong self-trained demos replaces the",
+        "reference's weak expert (-3.42 demo level) — see",
+        "`throw_strong_expert/` when present.",
         "",
     ]
+    nvp2 = os.path.join(RES, "push_full_recipe", "rl_nvp2", "summary.json")
+    if os.path.isfile(nvp2):
+        with open(nvp2) as f:
+            nv = json.load(f)
+        lines += [
+            "True two-azimuth push nvp=2 (distinct cameras,",
+            f"`sample_rl_context(nvp=2)`): best {nv['best']:.3f} @ itr",
+            f"{nv['best_iter']} (max success {nv['max_success']:.2f}) vs",
+            f"single-view best {nv['single_vp_best']:.3f}",
+            "(`push_full_recipe/rl_nvp2/`).",
+            "",
+        ]
     rsum = os.path.join(RES, "real_full_recipe", "summary.json")
     if os.path.isfile(rsum):
         with open(rsum) as f:

@@ -7,8 +7,13 @@ single-view rewards is summing the visual cost over viewpoints
 (striker.py:52-67, base.py:243-252); strike_nvp2_demo proved that path at
 production shape. This leg reruns ONLY the RL stage of push_full_recipe —
 same trained model, same demos, same seed-1 fixed context, same budget
-(batch 12,500 x 150) — with ``n_viewpoints=2`` so every reward frame is
-scored from two cameras.
+(batch 12,500 x 150) — with TWO pinned camera azimuths
+(``sample_rl_context(..., nvp=2)``: the first is the identical seed-1 draw,
+the second an independent draw — the reference's per-viewpoint ``vp`` list,
+striker.py:74-76) so every reward frame is scored from two genuinely
+different cameras. An earlier launch of this leg pinned ONE scalar azimuth
+with n_viewpoints=2, which silently duplicated the camera; those artifacts
+are reclassified as the reward-scale control ``rl_x2scale/``.
 
 Artifacts -> examples/results/push_full_recipe/rl_nvp2/ + summary.json.
 """
@@ -37,7 +42,8 @@ ckpt = [f[:-4] for f in os.listdir(ckpt_dir) if f.endswith(".npz")][0]
 vdata = np.load(os.path.join(BASE, "translation", "vdata.npy"), mmap_mode="r")
 demo_data = np.asarray(vdata[:, N_TRAIN:], np.float32)
 
-ctx = sample_rl_context("push", seed=1)  # identical draw to push_full_recipe
+# identical scene draw to push_full_recipe plus a second, distinct azimuth
+ctx = sample_rl_context("push", seed=1, nvp=2)
 cfg = preset("push")
 cfg = cfg.replace(
     name="push_nvp2",

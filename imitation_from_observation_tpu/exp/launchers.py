@@ -183,7 +183,7 @@ def run_visual_trpo(
     return policy, history
 
 
-def sample_rl_context(task: str, seed: int = 0) -> dict:
+def sample_rl_context(task: str, seed: int = 0, nvp: int = 1) -> dict:
     """Draw the ONE fixed scene context an RL experiment runs in.
 
     The reference's launchers draw viewpoint/goal/colors/distractors ONCE
@@ -194,8 +194,24 @@ def sample_rl_context(task: str, seed: int = 0) -> dict:
     context RANDOMIZATION lives in the demo videos; the RL scene is fixed,
     so the reward engine's demo-translation cache (built from the agent's
     context frame, base.py:195-226) matches every rollout. Returns
-    EnvConfig override fields."""
+    EnvConfig override fields.
+
+    ``nvp > 1`` pins that many DISTINCT camera azimuths (the reference's
+    ``_kwargs['vp'][vid]`` list, striker.py:74-76) — multi-viewpoint scoring
+    with one shared azimuth would just duplicate the same frame. The first
+    azimuth and every other field reproduce the ``nvp=1`` draw for the same
+    seed (extra azimuths come from later rng state), so an nvp=2 rerun is
+    scene-identical to its single-view leg."""
     rng = np.random.default_rng(seed)
+
+    def widen(ctx: dict) -> dict:
+        if nvp <= 1 or "viewpoint" not in ctx:
+            return ctx
+        vp0 = ctx["viewpoint"]
+        if np.isscalar(vp0):
+            extra = rng.uniform(0.0, 360.0, nvp - 1)
+            ctx["viewpoint"] = (float(vp0), *(float(a) for a in extra))
+        return ctx
 
     def color() -> np.ndarray:
         c = rng.uniform(0, 1, 3)
@@ -220,12 +236,14 @@ def sample_rl_context(task: str, seed: int = 0) -> dict:
         bgcolor = color()
         while np.linalg.norm(bgcolor - armcolor) < 0.5:
             bgcolor = rng.uniform(0, 1, 3)  # launcher retries BG (not arm)
-        return dict(
-            viewpoint=float(vp),
-            goal=goal,
-            armcolor=tuple(armcolor.tolist() + [1.0]),
-            bgcolor=tuple(bgcolor.tolist() + [1.0]),
-            geoms=distractor_geoms(),
+        return widen(
+            dict(
+                viewpoint=float(vp),
+                goal=goal,
+                armcolor=tuple(armcolor.tolist() + [1.0]),
+                bgcolor=tuple(bgcolor.tolist() + [1.0]),
+                geoms=distractor_geoms(),
+            )
         )
     if task in ("push", "pusher3dof"):
         while True:
@@ -234,8 +252,13 @@ def sample_rl_context(task: str, seed: int = 0) -> dict:
             if np.linalg.norm(np.array(obj) - np.array(goal)) > 0.45:
                 break
         geoms = distractor_geoms()
-        return dict(
-            viewpoint=float(rng.uniform(0, 360)), object_pos=obj, goal=goal, geoms=geoms
+        return widen(
+            dict(
+                viewpoint=float(rng.uniform(0, 360)),
+                object_pos=obj,
+                goal=goal,
+                geoms=geoms,
+            )
         )
     if task in ("strike", "strike_inception", "striker"):
         vp = rng.uniform(0, 360, 10)  # launcher draws 10; nvp=1 uses the first
@@ -244,14 +267,19 @@ def sample_rl_context(task: str, seed: int = 0) -> dict:
             goal = np.array([rng.uniform(0.15, 0.7), rng.uniform(0.1, 1.0)])
             if np.linalg.norm(ball - goal) > 0.17:
                 break
-        return dict(viewpoint=float(vp[0]), goal=tuple(goal.tolist()), view_angle=45.0)
+        viewpoint = (
+            float(vp[0]) if nvp <= 1 else tuple(float(a) for a in vp[:nvp])
+        )
+        return dict(viewpoint=viewpoint, goal=tuple(goal.tolist()), view_angle=45.0)
     if task in ("throw", "thrower"):
-        return dict(
-            viewpoint=float(rng.uniform(0, 360)),
-            goal=(rng.uniform(-0.3, 0.3), rng.uniform(-0.3, 0.3)),
+        return widen(
+            dict(
+                viewpoint=float(rng.uniform(0, 360)),
+                goal=(rng.uniform(-0.3, 0.3), rng.uniform(-0.3, 0.3)),
+            )
         )
     if task in ("sweep", "cleaner"):
-        return dict(viewpoint=float(rng.uniform(0, 360)))
+        return widen(dict(viewpoint=float(rng.uniform(0, 360))))
     if task in ("real", "pusher3dofreal"):
         return {}  # measured fixed scene comes from the launcher's SCENE dict
     raise ValueError(f"unknown task {task!r}")

@@ -186,6 +186,15 @@ class MujocoTask:
         if v is None:
             return float(self._random_azimuths[vp])
         if np.isscalar(v):
+            if max(1, self.config.n_viewpoints) > 1:
+                # the reference pins a per-viewpoint azimuth list
+                # (_kwargs['vp'][vid], striker.py:74-76); a shared scalar
+                # would score the same frame nvp times — fail loudly
+                raise ValueError(
+                    "scalar config.viewpoint with n_viewpoints="
+                    f"{self.config.n_viewpoints} duplicates the camera; pass "
+                    "one azimuth per viewpoint (sample_rl_context(..., nvp=))"
+                )
             return float(v)
         return float(v[vp])
 

@@ -138,7 +138,18 @@ class NativeVecTask:
         self._azimuths = self.rng.uniform(0.0, 360.0, (self.n_envs, self.nvp))
         v = self.config.viewpoint
         if v is not None:
-            self._azimuths[:] = np.asarray(v, np.float64).reshape(1, -1)
+            arr = np.asarray(v, np.float64).reshape(1, -1)
+            if self.nvp > 1 and arr.size == 1:
+                # one shared azimuth would render the SAME frame nvp times —
+                # the reference pins a per-viewpoint list (_kwargs['vp'][vid],
+                # striker.py:74-76); fail loudly instead of silently scoring
+                # duplicate cameras
+                raise ValueError(
+                    f"scalar config.viewpoint with n_viewpoints={self.nvp} "
+                    f"duplicates the camera; pass {self.nvp} azimuths "
+                    "(e.g. sample_rl_context(task, seed, nvp=...))"
+                )
+            self._azimuths[:] = arr
         self.cams = np.zeros((self.n_envs, self.nvp, 6))
         for vp in range(self.nvp):
             lookat, dist, elev = self.camera_pose(vp)
@@ -683,6 +694,12 @@ class NativeRealPusherVecTask(NativePusherVecTask):
     def _sample_cameras(self):
         super()._sample_cameras()
         if self.config.viewpoint is None:
+            if self.nvp > 1:
+                raise ValueError(
+                    "pusher3dofreal defaults every viewpoint to the one fixed "
+                    f"real camera; n_viewpoints={self.nvp} needs explicit "
+                    "per-viewpoint azimuths in config.viewpoint"
+                )
             self._azimuths[:] = 0.0  # fixed real camera (pusher3dofreal.py:44-63)
             self.cams[:, :, 5] = 0.0
 

@@ -329,3 +329,53 @@ def test_scene_overrides_propagation():
     assert "n_viewpoints" not in scene  # default 1 means unset
     assert scene_overrides(EnvConfig(name="reacher3dof")) == {}
     assert scene_overrides(EnvConfig(name="striker", n_viewpoints=2)) == {"n_viewpoints": 2}
+
+
+def test_sample_rl_context_nvp():
+    """nvp>1 pins DISTINCT per-viewpoint azimuths (the reference's
+    _kwargs['vp'][vid] list, striker.py:74-76) while reproducing the nvp=1
+    scene exactly — an nvp=2 rerun stays scene-identical to its
+    single-view leg."""
+    from imitation_from_observation_tpu.exp.launchers import sample_rl_context
+
+    for task in ("push", "reach", "strike", "sweep", "throw"):
+        one = sample_rl_context(task, seed=1)
+        two = sample_rl_context(task, seed=1, nvp=2)
+        vps = two["viewpoint"]
+        assert len(vps) == 2 and vps[0] != vps[1]
+        assert vps[0] == one["viewpoint"]  # first azimuth is the nvp=1 draw
+        for k in one:
+            if k != "viewpoint":
+                assert two[k] == one[k], (task, k)
+    # strike takes azimuths from the launcher's 10-draw block, not new draws
+    s3 = sample_rl_context("strike", seed=1, nvp=3)
+    assert len(s3["viewpoint"]) == 3
+
+
+def test_scalar_viewpoint_multi_vp_raises():
+    """One shared azimuth with n_viewpoints>1 would score the same frame
+    twice (the degeneracy behind the reclassified push rl_x2scale leg) —
+    both env paths must refuse it loudly."""
+    import pytest
+
+    from imitation_from_observation_tpu.sim.native_tasks import make_native_vec
+    from imitation_from_observation_tpu.sim.registry import make_env
+
+    cfg = EnvConfig(
+        name="pusher3dof", image_size=(16, 16), render_size=(64, 64),
+        n_viewpoints=2, viewpoint=123.0, horizon=4, render_frames=True,
+    )
+    with pytest.raises(ValueError, match="duplicates the camera"):
+        make_native_vec("pusher3dof", 2, cfg)
+    env = make_env("pusher3dof", cfg)
+    env.reset()
+    with pytest.raises(ValueError, match="duplicates the camera"):
+        env.render(0, (16, 16))
+    env.close()
+    # a per-viewpoint pair is accepted by both
+    ok = cfg.replace(viewpoint=(123.0, 163.0))
+    make_native_vec("pusher3dof", 2, ok).close()
+    env = make_env("pusher3dof", ok)
+    env.reset()
+    assert env.render(1, (16, 16)).shape == (16, 16, 3)
+    env.close()

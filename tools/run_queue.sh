@@ -37,6 +37,7 @@ run /tmp/profile_translate.log  python tools/profile_translate.py 1024
 run /tmp/throw_strong.log       python examples/throw_strong_expert.py
 run /tmp/push_variants.log      python examples/push_variants_seeds.py
 run /tmp/sweep_variants.log     python examples/sweep_variants_seeds.py
+run /tmp/push_nvp2.log          python examples/push_nvp2_rl.py
 run /tmp/real_full_recipe.log   python examples/real_full_recipe.py
 run /tmp/push_4k.log            python examples/push_data4k.py
 echo "$(date) chain complete" >> /tmp/queue_chain.log
