@@ -247,15 +247,6 @@ class _CategoricalRecurrent(_RecurrentPolicyBase):
             return jnp.zeros((n, self.hidden))
         return (jnp.zeros((n, self.hidden)), jnp.zeros((n, self.hidden)))
 
-    def reset_where(self, dones: np.ndarray) -> None:
-        if getattr(self, "_carry", None) is None:
-            return
-        mask = jnp.asarray(~np.asarray(dones, bool), jnp.float32)[:, None]
-        if self.CELL == "gru":
-            self._carry = self._carry * mask
-        else:
-            self._carry = jax.tree_util.tree_map(lambda c: c * mask, self._carry)
-
     def _step_impl(self, params, carry, obs, key):
         carry, logits = self.net.apply(params["net"], carry, obs)
         actions = jax.random.categorical(key, logits)

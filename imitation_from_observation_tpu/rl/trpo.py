@@ -76,16 +76,26 @@ class TRPO:
     def _surr_loss_kl(self, flat_params, obs, actions, advantages, old_info, valids=None):
         """Non-recurrent: flat [N, ...] batches, plain means (npo.py:80-81).
         Recurrent: padded [B, T, ...] with a valids mask, valid-weighted
-        means (npo.py:77-79)."""
+        means (npo.py:77-79). The distribution family dispatches on the info
+        keys, like the reference's per-policy ``distribution`` property
+        (npo.py:45): ``prob`` -> categorical, else diagonal Gaussian."""
         params = self._unravel(flat_params)
         if getattr(self.policy, "recurrent", False):
             info = self.policy.dist_info_sequence(params, obs)
         else:
             info = self.policy.dist_info(params, obs)
-        lr = dg.likelihood_ratio(actions, old_info, info)
+        if "prob" in old_info:
+            probs = old_info["prob"]
+            acts = actions
+            if acts.ndim < probs.ndim:  # integer actions -> one-hot
+                acts = jax.nn.one_hot(acts.astype(jnp.int32), probs.shape[-1])
+            lr = dg.categorical_likelihood_ratio(acts, old_info, info)
+            kl = dg.categorical_kl(old_info, info)
+        else:
+            lr = dg.likelihood_ratio(actions, old_info, info)
+            kl = dg.kl(old_info, info)
         if self.truncate_local_is_ratio is not None:
             lr = jnp.minimum(self.truncate_local_is_ratio, lr)
-        kl = dg.kl(old_info, info)
         if valids is not None:
             n = jnp.sum(valids)
             surr = -jnp.sum(lr * advantages * valids) / n
@@ -199,10 +209,9 @@ class TRPO:
         obs = np.asarray(samples["observations"], np.float32)
         actions = np.asarray(samples["actions"], np.float32)
         adv = np.asarray(samples["advantages"], np.float32)
-        old_info = {
-            "mean": np.asarray(samples["agent_infos"]["mean"], np.float32),
-            "log_std": np.asarray(samples["agent_infos"]["log_std"], np.float32),
-        }
+        infos = samples["agent_infos"]
+        dist_keys = ("prob",) if "prob" in infos else ("mean", "log_std")
+        old_info = {k: np.asarray(infos[k], np.float32) for k in dist_keys}
         if "valids" in samples:
             valids = np.asarray(samples["valids"], np.float32)
         else:

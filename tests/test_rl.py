@@ -551,3 +551,62 @@ def test_sampler_masked_recurrent_reset_mid_batch():
         for before, dones, _ in carries
         for i, d in enumerate(dones)
     )
+
+
+def test_trpo_categorical_mlp_optimize():
+    """TRPO trains categorical policies (reference trpo + categorical_mlp_
+    policy, rllab/algos/trpo.py + categorical distribution): integer
+    actions one-hot inside the jitted update, probs move toward the
+    positive-advantage action."""
+    from imitation_from_observation_tpu.rl.policies_extra import CategoricalMLPPolicy
+    from imitation_from_observation_tpu.rl.trpo import TRPO
+
+    rng = np.random.default_rng(0)
+    pol = CategoricalMLPPolicy(obs_dim=3, n_actions=4, hidden=(8,), seed=0)
+    algo = TRPO(pol, step_size=0.05)
+    obs = rng.standard_normal((256, 3)).astype(np.float32)
+
+    def p_action0():
+        return float(np.mean(np.asarray(pol.dist_info(pol.params, jnp.asarray(obs))["prob"])[:, 0]))
+
+    before = p_action0()
+    for it in range(4):
+        acts, info = pol.get_actions(obs, jax.random.key(it))
+        adv = np.where(acts == 0, 1.0, -1.0).astype(np.float32)  # prefer action 0
+        diag = algo.optimize(
+            dict(observations=obs, actions=acts, advantages=adv, agent_infos=info)
+        )
+        assert np.isfinite(diag["LossAfter"]) and np.isfinite(diag["MeanKL"])
+    assert p_action0() > before + 0.05
+
+
+def test_trpo_categorical_recurrent_optimize():
+    """TRPO's recurrent path accepts categorical GRU policies: padded
+    [B, T] one-hot actions with a valids mask, prob infos."""
+    from imitation_from_observation_tpu.rl.policies_extra import CategoricalGRUPolicy
+    from imitation_from_observation_tpu.rl.trpo import TRPO
+
+    rng = np.random.default_rng(0)
+    B, T, K = 8, 5, 3
+    pol = CategoricalGRUPolicy(obs_dim=2, n_actions=K, hidden=8, seed=0)
+    algo = TRPO(pol, step_size=0.05)
+    obs = rng.standard_normal((B, T, 2)).astype(np.float32)
+    valids = np.ones((B, T), np.float32)
+    valids[:, -1] = 0.0  # padded tail
+
+    def p_action0():
+        p = np.asarray(pol.dist_info_sequence(pol.params, jnp.asarray(obs))["prob"])
+        return float((p[..., 0] * valids).sum() / valids.sum())
+
+    before = p_action0()
+    for it in range(4):
+        info = {"prob": np.asarray(pol.dist_info_sequence(pol.params, jnp.asarray(obs))["prob"])}
+        acts_idx = rng.integers(0, K, (B, T))
+        acts = np.eye(K, dtype=np.float32)[acts_idx]
+        adv = np.where(acts_idx == 0, 1.0, -1.0).astype(np.float32)
+        diag = algo.optimize(
+            dict(observations=obs, actions=acts, advantages=adv,
+                 agent_infos=info, valids=valids)
+        )
+        assert np.isfinite(diag["LossAfter"]) and np.isfinite(diag["MeanKL"])
+    assert p_action0() > before + 0.05
