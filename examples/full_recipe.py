@@ -30,6 +30,7 @@ from imitation_from_observation_tpu.exp.launchers import (
     run_visual_trpo,
     sample_rl_context,
 )
+from imitation_from_observation_tpu.exp.report import summarize
 
 TASKS = {
     "push": dict(
@@ -49,27 +50,6 @@ TASKS = {
         n_demos=2000, t_iters=100_000, rl_iters=150,
     ),
 }
-
-
-def summarize(history, label):
-    rt = [h["ReturnTrue"] for h in history]
-    sr = [h.get("SuccessRate", 0.0) for h in history]
-    best_i = int(max(range(len(rt)), key=lambda i: rt[i]))
-    out = dict(
-        label=label,
-        first10_mean=sum(rt[:10]) / min(10, len(rt)),
-        last10_mean=sum(rt[-10:]) / min(10, len(rt)),
-        best=rt[best_i],
-        best_iter=best_i,
-        best_success=sr[best_i],
-        max_success=max(sr),
-    )
-    print(
-        f"[{label}] ReturnTrue first10 {out['first10_mean']:.4f} -> "
-        f"last10 {out['last10_mean']:.4f}, best {out['best']:.4f} @ itr {best_i} "
-        f"(SuccessRate there {out['best_success']:.2f}, max {out['max_success']:.2f})"
-    )
-    return out
 
 
 def main(task: str) -> None:

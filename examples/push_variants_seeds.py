@@ -23,6 +23,7 @@ from imitation_from_observation_tpu.exp.launchers import (
     run_visual_trpo,
     sample_rl_context,
 )
+from imitation_from_observation_tpu.exp.report import done_rows
 
 BASE = os.path.join(os.path.dirname(__file__), "results", "push_full_recipe")
 LOG = os.path.join(os.path.dirname(__file__), "results", "push_variants")
@@ -34,24 +35,6 @@ ckpt_dir = os.path.join(BASE, "translation", "checkpoints", "100000")
 ckpt = [f[:-4] for f in os.listdir(ckpt_dir) if f.endswith(".npz")][0]
 vdata = np.load(os.path.join(BASE, "translation", "vdata.npy"), mmap_mode="r")
 demo_data = np.asarray(vdata[:, N_TRAIN:], np.float32)
-
-def done_rows(log_dir):
-    """Completed-leg rows from progress.csv (resume support: a transient
-    relay failure mid-study should not force finished seeds to rerun)."""
-    import csv
-
-    p = os.path.join(log_dir, "rl", "progress.csv")
-    if not os.path.isfile(p):
-        return None
-    with open(p) as f:
-        rows = list(csv.DictReader(f))
-    if len(rows) < RL_ITERS:
-        return None
-    return [
-        {"ReturnTrue": float(r["ReturnTrue"]), "SuccessRate": float(r["SuccessRate"])}
-        for r in rows
-    ]
-
 
 base_cfg = preset("push")
 summary = {}
@@ -69,7 +52,7 @@ for seed in SEEDS:
             mode="ours", scale=1.0, model_checkpoint=os.path.join(ckpt_dir, ckpt)
         ),
     )
-    hist = done_rows(cfg.log_dir)
+    hist = done_rows(cfg.log_dir, RL_ITERS)
     if hist is None:
         os.makedirs(cfg.log_dir, exist_ok=True)
         with open(os.path.join(cfg.log_dir, "variant.json"), "w") as f:

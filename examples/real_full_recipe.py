@@ -36,6 +36,7 @@ import numpy as np
 from imitation_from_observation_tpu.core.config import RLConfig, preset
 from imitation_from_observation_tpu.exp.launchers import run_pipeline, run_visual_trpo
 from imitation_from_observation_tpu.exp.train_expert import train_expert
+from imitation_from_observation_tpu.exp.report import done_rows, summarize
 
 LOG = os.path.join(os.path.dirname(__file__), "results", "real_full_recipe")
 EXPERT = os.path.join(LOG, "expert_strong")
@@ -52,34 +53,6 @@ SCENE = dict(
 )
 RL_ITERS = 200
 BATCH = 25_000  # run_trpo.py:21 ("real" used 500 paths x 50)
-
-
-def summarize(history, label):
-    rt = [h["ReturnTrue"] for h in history]
-    sr = [h.get("SuccessRate", 0.0) for h in history]
-    best_i = int(np.argmax(rt))
-    out = dict(
-        label=label,
-        first10_mean=float(np.mean(rt[:10])), last10_mean=float(np.mean(rt[-10:])),
-        best=rt[best_i], best_iter=best_i,
-        best_success=sr[best_i], max_success=max(sr),
-    )
-    print(f"[{label}] first10 {out['first10_mean']:.4f} -> last10 "
-          f"{out['last10_mean']:.4f}, best {out['best']:.4f} @ itr {best_i} "
-          f"(maxSuccess {out['max_success']:.2f})")
-    return out
-
-
-def done_rows(log_dir, n):
-    p = os.path.join(log_dir, "rl", "progress.csv")
-    if not os.path.isfile(p):
-        return None
-    with open(p) as f:
-        rows = list(csv.DictReader(f))
-    if len(rows) < n:
-        return None
-    return [{"ReturnTrue": float(r["ReturnTrue"]),
-             "SuccessRate": float(r["SuccessRate"])} for r in rows]
 
 
 if not os.path.exists(EXPERT + ".npz"):

@@ -126,10 +126,16 @@ class TpilTrainer:
                 dict(observations=[], actions=[], rewards=[], env_infos=[], agent_infos=[])
                 for _ in range(env.n_envs)
             ]
+            done_mask = np.zeros(env.n_envs, bool)
             for _ in range(self.horizon):
                 actions, agent_infos = policy.get_actions(obs, self.rng.next())
                 next_obs, rewards, dones, env_infos = env.step(actions)
                 for i in range(env.n_envs):
+                    if done_mask[i]:
+                        # episode i already ended — vec envs auto-reset, so
+                        # appending further steps would splice two episodes
+                        # (and two contexts) into one discriminator trajectory
+                        continue
                     running[i]["observations"].append(obs[i])
                     running[i]["actions"].append(actions[i])
                     running[i]["rewards"].append(rewards[i])
@@ -137,8 +143,9 @@ class TpilTrainer:
                     running[i]["agent_infos"].append(
                         {k: v[i] for k, v in agent_infos.items()} if agent_infos else {}
                     )
+                done_mask |= np.asarray(dones, bool)
                 obs = next_obs
-                if np.all(dones):
+                if done_mask.all():
                     break
             for r in running:
                 if not r["agent_infos"][0]:

@@ -105,7 +105,7 @@ def generate_demo_videos_vec(
             i += 1
         log.log(
             f"recorded {len(written)}/{n_videos} demos "
-            f"(mean reward_true {np.mean(trues):.3f})"
+            f"(mean reward_true {np.mean(trues) if trues else 0:.3f})"
         )
     vec.close()
     with open(os.path.join(out_dir, "stats.json"), "w") as f:

@@ -76,32 +76,12 @@ def group_curves(
     return out
 
 
-def plot(root: str, y_key: str, out_path: str, group_by: str | None = None, x_key: str = "Iteration"):
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    curves = group_curves(load_experiments(root), y_key, group_by, x_key)
-    if not curves:
-        raise ValueError(f"no experiments with column {y_key!r} under {root}")
-    fig, ax = plt.subplots(figsize=(7, 4.5))
-    for label, (x, mean, std) in sorted(curves.items()):
-        ax.plot(x, mean, label=label)
-        ax.fill_between(x, mean - std, mean + std, alpha=0.25)
-    ax.set_xlabel(x_key)
-    ax.set_ylabel(y_key)
-    ax.legend()
-    fig.tight_layout()
-    fig.savefig(out_path, dpi=120)
-    plt.close(fig)
-    return out_path
-
-
 def render_png_bytes(
     root: str, y_key: str, group_by: str | None = None, x_key: str = "Iteration"
 ) -> bytes:
-    """The dashboard's plot payload: same figure as :func:`plot`, in-memory."""
+    """Mean±std grouped curves as PNG bytes — the single figure builder
+    shared by the ``plot`` CLI path and the dashboard (empty result sets
+    render a titled empty figure; the CLI raises instead)."""
     import io
 
     import matplotlib
@@ -110,7 +90,7 @@ def render_png_bytes(
     import matplotlib.pyplot as plt
 
     curves = group_curves(load_experiments(root), y_key, group_by, x_key)
-    fig, ax = plt.subplots(figsize=(8, 5))
+    fig, ax = plt.subplots(figsize=(7, 4.5))
     for label, (x, mean, std) in sorted(curves.items()):
         ax.plot(x, mean, label=label)
         ax.fill_between(x, mean - std, mean + std, alpha=0.25)
@@ -122,9 +102,18 @@ def render_png_bytes(
         ax.set_title(f"no experiments with column {y_key!r}")
     fig.tight_layout()
     buf = io.BytesIO()
-    fig.savefig(buf, format="png", dpi=110)
+    fig.savefig(buf, format="png", dpi=120)
     plt.close(fig)
     return buf.getvalue()
+
+
+def plot(root: str, y_key: str, out_path: str, group_by: str | None = None, x_key: str = "Iteration"):
+    curves = group_curves(load_experiments(root), y_key, group_by, x_key)
+    if not curves:
+        raise ValueError(f"no experiments with column {y_key!r} under {root}")
+    with open(out_path, "wb") as f:
+        f.write(render_png_bytes(root, y_key, group_by, x_key))
+    return out_path
 
 
 def dashboard_html(root: str, y_key: str, x_key: str, group_by: str) -> str:
@@ -165,8 +154,9 @@ def dashboard_html(root: str, y_key: str, x_key: str, group_by: str) -> str:
 
 
 def serve(root: str, port: int = 5000, y_default: str = "AverageReturn"):
-    """Serve the dashboard (blocks). Returns the configured server when
-    ``port=0`` callers want to drive it themselves (tests)."""
+    """Bind the dashboard server and return it WITHOUT serving — the caller
+    decides between ``serve_forever()`` (the ``--serve`` CLI does this) and
+    driving requests manually (tests use ``port=0`` + ``handle_request``)."""
     from http.server import BaseHTTPRequestHandler, HTTPServer
     from urllib.parse import parse_qs, urlparse
 

@@ -106,3 +106,42 @@ def test_gail_variant_smoke(tmp_path):
     row = trainer.take_iteration(n_trajs_cost=2, n_trajs_policy=2)
     assert np.isfinite(row["GanLoss"])
     novice_env.close(); expert_env.close()
+
+
+def test_collect_paths_stops_at_per_env_done():
+    """The vec fast path must not splice an auto-reset episode's tail onto a
+    finished trajectory: an env done at t gets a t-step path while the rest
+    run to the horizon (the per-episode _rollout contract)."""
+    from imitation_from_observation_tpu.baselines_tpil.trainer import (
+        RandomPolicy,
+        TpilTrainer,
+    )
+
+    class FakeVec:
+        n_envs = 2
+
+        def __init__(self):
+            self.t = 0
+
+        def reset(self):
+            self.t = 0
+            return np.zeros((2, 3), np.float32)
+
+        def step(self, actions):
+            self.t += 1
+            obs = np.full((2, 3), self.t, np.float32)
+            dones = np.array([self.t >= 2, False])  # env 0 ends early
+            infos = [{"frames": None} for _ in range(2)]
+            return obs, np.zeros(2), dones, infos
+
+        def close(self):
+            pass
+
+    trainer = TpilTrainer.__new__(TpilTrainer)  # only _collect_paths deps
+    trainer.horizon = 5
+    trainer.rng = __import__(
+        "imitation_from_observation_tpu.core.rng", fromlist=["RngStream"]
+    ).RngStream(0)
+    paths = trainer._collect_paths(RandomPolicy(3), FakeVec(), 2)
+    lengths = sorted(len(p["rewards"]) for p in paths)
+    assert lengths == [2, 5], lengths
