@@ -12,7 +12,9 @@ One JSON line with four measurements:
   ``VisualRewardEngine.process`` on a production-shape RL iteration
   (80 paths x 51 steps, 25 scored 48x48 frames each, 30 held-out demos,
   mode 'ours'), divided by total env steps — BASELINE.json's "reward-eval
-  latency per rollout step".
+  latency per rollout step". ``reward_eval_device_frames_ms_per_step`` is
+  the same workload on the production device-resident frame path (raycast
+  render -> on-chip gather -> scoring; no host round trip).
 - ``train_steps_per_sec``: fused Adam training steps/sec at the reference's
   translation-training shape (ContextSkip 48x48, batch 100 —
   train_script.py:128,163), i.e. the wall rate of the reference's
@@ -139,9 +141,15 @@ def measure(
 
 
 def measure_reward_latency(
-    n_paths: int = 80, horizon: int = 51, n_demos: int = 30, hw: int = 48
-) -> float:
-    """Steady-state VisualRewardEngine.process wall time per env step (ms)."""
+    n_paths: int = 80,
+    horizon: int = 51,
+    n_demos: int = 30,
+    hw: int = 48,
+    model_kw: dict | None = None,
+) -> tuple[float, float]:
+    """Steady-state VisualRewardEngine.process wall time per env step (ms),
+    for BOTH frame paths: (host uint8 frames, device-resident frames).
+    ``model_kw`` scales the model down for CPU smoke runs."""
     import jax
     import numpy as np
 
@@ -154,7 +162,9 @@ def measure_reward_latency(
 
     t_frames = horizon // 2  # scored odd steps (base.py:256)
     rng = np.random.default_rng(0)
-    model_cfg = TranslationModelConfig(model="context_skip", image_size=(hw, hw))
+    model_cfg = TranslationModelConfig(
+        model="context_skip", image_size=(hw, hw), **(model_kw or {})
+    )
     model = build_model(model_cfg)
     x = np.zeros((1, hw, hw, 3), np.float32)
     params = model.init(jax.random.key(0), x, x, x)
@@ -183,7 +193,36 @@ def measure_reward_latency(
     t0 = time.perf_counter()
     eng.process(make_paths(3))
     dt = time.perf_counter() - t0
-    return dt / (n_paths * horizon) * 1e3
+    host_ms = dt / (n_paths * horizon) * 1e3
+
+    # The production RL loop never ships frames to the host: the raycast
+    # renderer leaves them device-resident and the engine gathers/scores them
+    # on-chip (reward/engine.py::_gather_device_frames). Measure that path
+    # too — it is the per-iteration reward cost at reference scale.
+    import jax.numpy as jnp
+
+    def make_dev_paths(seed):
+        r = np.random.default_rng(seed)
+        block = jnp.asarray(
+            r.integers(0, 255, (t_frames, n_paths, 1, hw, hw, 3), dtype=np.uint8)
+        )
+        paths = []
+        for i in range(n_paths):
+            paths.append(
+                dict(
+                    rewards=np.zeros(horizon),
+                    frames_dev=(block, i),
+                    env_infos={"reward_true": np.zeros(horizon)},
+                )
+            )
+        return paths
+
+    eng.process(make_dev_paths(1))  # compile/warm the device gather + score
+    eng.process(make_dev_paths(2))
+    t0 = time.perf_counter()
+    eng.process(make_dev_paths(3))
+    dev_ms = (time.perf_counter() - t0) / (n_paths * horizon) * 1e3
+    return host_ms, dev_ms
 
 
 def measure_train_throughput(
@@ -349,9 +388,10 @@ def main() -> None:
     except Exception:
         vs = float("nan")
     try:
-        reward_ms = round(measure_reward_latency(), 4)
+        host_ms, dev_ms = measure_reward_latency()
+        reward_ms, reward_dev_ms = round(host_ms, 4), round(dev_ms, 4)
     except Exception:
-        reward_ms = None
+        reward_ms = reward_dev_ms = None
     try:
         train_sps = round(measure_train_throughput(), 1)
     except Exception:
@@ -370,6 +410,7 @@ def main() -> None:
                 "unit": "frames/s",
                 "vs_baseline": round(vs, 2),
                 "reward_eval_latency_ms_per_step": reward_ms,
+                "reward_eval_device_frames_ms_per_step": reward_dev_ms,
                 "train_steps_per_sec": train_sps,
                 "raycast_frames_per_sec": raycast_fps,
                 "frame_psnr_parity_db": psnr,

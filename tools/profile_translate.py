@@ -33,27 +33,38 @@ ITERS = 30
 
 
 def timed(fn, *args, iters=ITERS):
-    """Chained-iteration wall time per call (s)."""
+    """Chained-iteration wall time per call (s).
+
+    Warmup and timing both fence with a real scalar fetch (``float(...)``) —
+    ``block_until_ready`` does NOT synchronize on the axon relay, and a
+    warmup whose execution is still draining would be absorbed into the
+    timed call. The traced loop bound keeps one compile for any n; the timed
+    (1+iters)-call has the 1-call (dispatch + fetch + one execution)
+    subtracted, like bench.py's measure."""
 
     @jax.jit
-    def loop(*a):
+    def loop(n, *a):
         def body(_, carry):
-            out = fn(*carry[1:])
+            out = fn(*carry)
             # fold one scalar of the output back into EVERY input leaf so the
             # loop body has a data dependency on all of them and no sub-graph
             # (e.g. the ctx encoder when ctx is loop-invariant) can be hoisted
             eps = jnp.real(jax.tree_util.tree_leaves(out)[0]).ravel()[0] * 1e-9
-            bumped = jax.tree_util.tree_map(
-                lambda x: x + eps.astype(x.dtype), carry[1:]
-            )
-            return (carry[0] + 1,) + tuple(bumped)
+            return jax.tree_util.tree_map(lambda x: x + eps.astype(x.dtype), carry)
 
-        return jax.lax.fori_loop(0, iters, body, (0,) + args)[1].ravel()[0]
+        return jax.lax.fori_loop(0, n, body, a)[0].ravel()[0]
 
-    loop(*args).block_until_ready()  # compile
+    one = jnp.asarray(1, jnp.int32)
+    many = jnp.asarray(1 + iters, jnp.int32)
+    float(loop(one, *args))  # compile + full drain
+    float(loop(one, *args))  # warm steady state
+    t1 = time.perf_counter()
+    float(loop(one, *args))
+    dt1 = time.perf_counter() - t1
     t0 = time.perf_counter()
-    float(loop(*args))
-    return (time.perf_counter() - t0) / iters
+    float(loop(many, *args))
+    dt = time.perf_counter() - t0
+    return max(dt - dt1, 1e-12) / iters
 
 
 def main():
