@@ -1,14 +1,20 @@
 #!/bin/bash
 # Relay-health-gated runner for the queued TPU experiment chain.
 #
-# The axon relay can die for hours (see CLAUDE.md); this gate waits for a
-# healthy tiny-op probe before each step and retries each step once. Every
-# study script is itself resumable (completed legs are skipped via their
-# progress.csv / artifact checks), so rerunning this script after any crash
-# is safe and cheap.
+# Steps live one-per-line in tools/queue_steps.txt ("<logfile> <cmd...>") so
+# new legs can be APPENDED while the runner is live — bash reads scripts
+# lazily, so editing this file mid-run would corrupt the running shell, but
+# editing the steps file is always safe. Progress is a counter in
+# /tmp/queue_done_count; delete it to replay from the top (each study script
+# is itself resumable past completed legs, so replays are cheap).
+#
+# The axon relay can die for hours (see CLAUDE.md); the gate waits for a
+# healthy tiny-op probe before each step and retries each step once.
 #
 # Usage: setsid nohup tools/run_queue.sh </dev/null >/tmp/queue_run.log 2>&1 &
 cd "$(dirname "$0")/.."
+STEPS=tools/queue_steps.txt
+COUNT=/tmp/queue_done_count
 
 probe() {
   timeout 180 python - <<'EOF' >/dev/null 2>&1
@@ -31,13 +37,16 @@ run() {  # run <logfile> <cmd...> — gate on relay health, one retry
   fi
 }
 
-# Highest-value first, in case relay time is scarce.
-run /tmp/profile_translate.log  python tools/profile_translate.py 256
-run /tmp/profile_translate.log  python tools/profile_translate.py 1024
-run /tmp/throw_strong.log       python examples/throw_strong_expert.py
-run /tmp/push_variants.log      python examples/push_variants_seeds.py
-run /tmp/sweep_variants.log     python examples/sweep_variants_seeds.py
-run /tmp/push_nvp2.log          python examples/push_nvp2_rl.py
-run /tmp/real_full_recipe.log   python examples/real_full_recipe.py
-run /tmp/push_4k.log            python examples/push_data4k.py
-echo "$(date) chain complete" >> /tmp/queue_chain.log
+n=$(cat "$COUNT" 2>/dev/null || echo 0)
+while :; do
+  total=$(wc -l < "$STEPS")
+  if [ "$n" -ge "$total" ]; then
+    echo "$(date) chain complete ($n steps)" >> /tmp/queue_chain.log
+    break
+  fi
+  line=$(sed -n "$((n + 1))p" "$STEPS")
+  # shellcheck disable=SC2086
+  run $line
+  n=$((n + 1))
+  echo "$n" > "$COUNT"
+done
