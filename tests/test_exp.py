@@ -379,3 +379,32 @@ def test_scalar_viewpoint_multi_vp_raises():
     env.reset()
     assert env.render(1, (16, 16)).shape == (16, 16, 3)
     env.close()
+
+
+def test_report_helpers(tmp_path):
+    """summarize/done_rows (exp/report.py) — the shared run-reporting used
+    by every full-recipe and variant-study script."""
+    import csv
+
+    from imitation_from_observation_tpu.exp.report import done_rows, summarize
+
+    hist = [{"ReturnTrue": -1.0 + 0.1 * i, "SuccessRate": 0.1 * i} for i in range(12)]
+    s = summarize(hist, "leg")
+    assert s["best"] == hist[11]["ReturnTrue"] and s["best_iter"] == 11
+    assert s["best_success"] == hist[11]["SuccessRate"]
+    assert abs(s["first10_mean"] - sum(h["ReturnTrue"] for h in hist[:10]) / 10) < 1e-12
+
+    assert done_rows(str(tmp_path), 3) is None  # no progress.csv yet
+    rl = tmp_path / "rl"
+    rl.mkdir()
+    with open(rl / "progress.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, ["ReturnTrue", "SuccessRate"])
+        w.writeheader()
+        for h in hist[:2]:
+            w.writerow(h)
+    assert done_rows(str(tmp_path), 3) is None  # incomplete leg
+    with open(rl / "progress.csv", "a", newline="") as f:
+        w = csv.DictWriter(f, ["ReturnTrue", "SuccessRate"])
+        w.writerow(hist[2])
+    rows = done_rows(str(tmp_path), 3)
+    assert [r["ReturnTrue"] for r in rows] == [h["ReturnTrue"] for h in hist[:3]]
