@@ -47,6 +47,12 @@ ITERS = 20
 CPU_CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE_CPU.json"
 )
+# Last successful full measurement, written after every healthy run. If the
+# relay is dead for the whole wait window, the null line embeds this so the
+# round record still carries clearly-labeled (stale) numbers.
+LAST_GOOD = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST_GOOD.json"
+)
 
 # The axon TPU relay can die for hours (see CLAUDE.md). A dead relay makes
 # backend init hang indefinitely IN-PROCESS, so health must be probed in a
@@ -368,18 +374,18 @@ def main() -> None:
     # never comes back, emit an explicit-null JSON line rather than hanging.
     max_wait = float(os.environ.get("BENCH_RELAY_MAX_WAIT", "3600"))
     if max_wait > 0 and not wait_for_tpu(max_wait):
-        print(
-            json.dumps(
-                {
-                    "metric": "translated_frames_per_sec_per_chip",
-                    "value": None,
-                    "unit": "frames/s",
-                    "vs_baseline": None,
-                    "error": "TPU relay unhealthy for the full bench wait "
-                    f"window ({max_wait:.0f}s); see CLAUDE.md relay-death note",
-                }
-            )
-        )
+        null_line = {
+            "metric": "translated_frames_per_sec_per_chip",
+            "value": None,
+            "unit": "frames/s",
+            "vs_baseline": None,
+            "error": "TPU relay unhealthy for the full bench wait "
+            f"window ({max_wait:.0f}s); see CLAUDE.md relay-death note",
+        }
+        if os.path.exists(LAST_GOOD):
+            with open(LAST_GOOD) as f:
+                null_line["last_good"] = json.load(f)
+        print(json.dumps(null_line))
         return
     fps = measure()
     try:
@@ -402,21 +408,23 @@ def main() -> None:
         print(f"raycast bench unavailable: {type(e).__name__}: {e}", file=sys.stderr)
         raycast_fps = None
     psnr = measure_psnr_parity()
-    print(
-        json.dumps(
-            {
-                "metric": "translated_frames_per_sec_per_chip",
-                "value": round(fps, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(vs, 2),
-                "reward_eval_latency_ms_per_step": reward_ms,
-                "reward_eval_device_frames_ms_per_step": reward_dev_ms,
-                "train_steps_per_sec": train_sps,
-                "raycast_frames_per_sec": raycast_fps,
-                "frame_psnr_parity_db": psnr,
-            }
-        )
-    )
+    result = {
+        "metric": "translated_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 2),
+        "reward_eval_latency_ms_per_step": reward_ms,
+        "reward_eval_device_frames_ms_per_step": reward_dev_ms,
+        "train_steps_per_sec": train_sps,
+        "raycast_frames_per_sec": raycast_fps,
+        "frame_psnr_parity_db": psnr,
+    }
+    try:
+        with open(LAST_GOOD, "w") as f:
+            json.dump({**result, "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, f)
+    except OSError:
+        pass  # read-only tree must not break the bench line itself
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
