@@ -65,6 +65,40 @@ _PROBE_CODE = (
 )
 
 
+# Coordination with tools/run_queue.sh: two processes sharing the relay
+# serialize and corrupt each other's timings (CLAUDE.md). The queue runner
+# marks a running step in QUEUE_ACTIVE (its pid) and holds new steps while
+# BENCH_REQUEST exists; the bench requests the window, then waits for any
+# live step to finish before measuring.
+BENCH_REQUEST = "/tmp/bench_request"
+QUEUE_ACTIVE = "/tmp/queue_step_active"
+
+
+def _queue_step_running() -> bool:
+    try:
+        with open(QUEUE_ACTIVE) as f:
+            pid = int(f.read().strip())
+        os.kill(pid, 0)  # signal 0: existence check only
+        return True
+    except (OSError, ValueError):
+        return False  # absent, unreadable, or stale (runner died mid-step)
+
+
+def wait_for_queue_idle(max_wait_s: float) -> bool:
+    """Wait for any in-flight queue step to finish; True if the relay is
+    exclusively ours."""
+    deadline = time.time() + max_wait_s
+    first = True
+    while _queue_step_running():
+        if first:
+            print("bench: waiting for a running queue step...", file=sys.stderr)
+            first = False
+        if time.time() >= deadline:
+            return False
+        time.sleep(30)
+    return True
+
+
 def wait_for_tpu(max_wait_s: float, probe_timeout_s: float = 180.0) -> bool:
     """Block until a tiny TPU op succeeds, up to ``max_wait_s``. Returns
     whether the relay is healthy. Probes run in subprocesses because a dead
@@ -373,6 +407,21 @@ def main() -> None:
     # BENCH_RELAY_MAX_WAIT seconds; 0 skips the probe entirely). If the relay
     # never comes back, emit an explicit-null JSON line rather than hanging.
     max_wait = float(os.environ.get("BENCH_RELAY_MAX_WAIT", "3600"))
+    try:
+        with open(BENCH_REQUEST, "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
+    try:
+        _main_gated(max_wait)
+    finally:
+        try:
+            os.remove(BENCH_REQUEST)
+        except OSError:
+            pass
+
+
+def _main_gated(max_wait: float) -> None:
     if max_wait > 0 and not wait_for_tpu(max_wait):
         null_line = {
             "metric": "translated_frames_per_sec_per_chip",
@@ -387,6 +436,7 @@ def main() -> None:
                 null_line["last_good"] = json.load(f)
         print(json.dumps(null_line))
         return
+    contended = max_wait > 0 and not wait_for_queue_idle(max_wait)
     fps = measure()
     try:
         base = cpu_baseline()
@@ -419,11 +469,15 @@ def main() -> None:
         "raycast_frames_per_sec": raycast_fps,
         "frame_psnr_parity_db": psnr,
     }
-    try:
-        with open(LAST_GOOD, "w") as f:
-            json.dump({**result, "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, f)
-    except OSError:
-        pass  # read-only tree must not break the bench line itself
+    if contended:
+        # another relay client ran concurrently; timings include serialization
+        result["contended"] = True
+    if not contended:  # the last-good cache must only hold clean timings
+        try:
+            with open(LAST_GOOD, "w") as f:
+                json.dump({**result, "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, f)
+        except OSError:
+            pass  # read-only tree must not break the bench line itself
     print(json.dumps(result))
 
 

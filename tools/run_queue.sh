@@ -11,10 +11,19 @@
 # The axon relay can die for hours (see CLAUDE.md); the gate waits for a
 # healthy tiny-op probe before each step and retries each step once.
 #
+# Coordination with bench.py: two processes sharing the relay serialize and
+# corrupt each other's timings (CLAUDE.md), and the driver runs bench.py at
+# round end. While a step runs, /tmp/queue_step_active holds its pid;
+# bench.py waits for it to clear (ignoring stale pids). Conversely the
+# runner holds BEFORE each step while /tmp/bench_request exists, so a bench
+# never has a fresh step launched under it.
+#
 # Usage: setsid nohup tools/run_queue.sh </dev/null >/tmp/queue_run.log 2>&1 &
 cd "$(dirname "$0")/.."
 STEPS=tools/queue_steps.txt
 COUNT=/tmp/queue_done_count
+ACTIVE=/tmp/queue_step_active
+BENCHREQ=/tmp/bench_request
 
 probe() {
   timeout 180 python - <<'EOF' >/dev/null 2>&1
@@ -24,16 +33,27 @@ assert float(jnp.ones(8).sum()) == 8.0
 EOF
 }
 
-run() {  # run <logfile> <cmd...> — gate on relay health, one retry
+step() {  # step <logfile> <cmd...> — mark active, run, unmark
   local log=$1; shift
+  echo $$ > "$ACTIVE"
+  "$@" >> "$log" 2>&1
+  local rc=$?
+  rm -f "$ACTIVE"
+  return $rc
+}
+
+run() {  # run <logfile> <cmd...> — gate on relay health + bench, one retry
+  while [ -e "$BENCHREQ" ]; do sleep 30; done
   until probe; do sleep 120; done
-  echo "$(date) start: $*" >> /tmp/queue_chain.log
-  if "$@" >> "$log" 2>&1; then
-    echo "$(date) done: $*" >> /tmp/queue_chain.log
+  echo "$(date) start: ${*:2}" >> /tmp/queue_chain.log
+  if step "$@"; then
+    echo "$(date) done: ${*:2}" >> /tmp/queue_chain.log
   else
-    sleep 60; until probe; do sleep 120; done
-    "$@" >> "$log" 2>&1
-    echo "$(date) done(retry rc=$?): $*" >> /tmp/queue_chain.log
+    sleep 60
+    while [ -e "$BENCHREQ" ]; do sleep 30; done
+    until probe; do sleep 120; done
+    step "$@"
+    echo "$(date) done(retry rc=$?): ${*:2}" >> /tmp/queue_chain.log
   fi
 }
 
