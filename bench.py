@@ -436,7 +436,14 @@ def _main_gated(max_wait: float) -> None:
                 null_line["last_good"] = json.load(f)
         print(json.dumps(null_line))
         return
-    contended = max_wait > 0 and not wait_for_queue_idle(max_wait)
+    # even with the relay gate disabled (max_wait=0), a concurrent queue step
+    # still serializes the relay — check once so corrupted timings are at
+    # least labeled and never cached as last-good
+    contended = (
+        _queue_step_running()
+        if max_wait <= 0
+        else not wait_for_queue_idle(max_wait)
+    )
     fps = measure()
     try:
         base = cpu_baseline()

@@ -76,11 +76,9 @@ def main() -> None:
         ax.axhline(expert, color=C_EXPERT, lw=1.2, ls=(0, (4, 3)), zorder=1)
         ax.plot(oracle, color=C_ORACLE, lw=2, label="oracle-reward control", zorder=2)
         ax.plot(ours, color=C_OURS, lw=2, label="ours (visual reward)", zorder=3)
-        if task == "reach":
-            tpil = read_col(
-                os.path.join(RES, "tpil_reference_scale", "progress.csv"),
-                "ReturnTrue",
-            )
+        tpil_csv = os.path.join(RES, "tpil_reference_scale", "progress.csv")
+        if task == "reach" and os.path.isfile(tpil_csv):
+            tpil = read_col(tpil_csv, "ReturnTrue")
             ax.plot(tpil, color=C_TPIL, lw=2, label="TPIL baseline", zorder=2)
         # mean±std across fresh context draws (the reference's nvar
         # aggregation, plots.ipynb) wherever a variant study exists
@@ -118,13 +116,11 @@ def main() -> None:
                     with open(sp) as f:
                         lvl = json.load(f)["demo_mean_return_true"]
                     ax.axhline(lvl, color=C_TPIL, lw=1.0, ls=(0, (1, 2)), zorder=1)
-        if task == "strike":
+        aligned_csv = os.path.join(base, "rl_aligned_goal", "rl", "progress.csv")
+        if task == "strike" and os.path.isfile(aligned_csv):
             # same visual reward, goal-ALIGNED context draw (seed 93) — the
             # "lucky draw" side of the reference's nvar protocol
-            aligned = read_col(
-                os.path.join(base, "rl_aligned_goal", "rl", "progress.csv"),
-                "ReturnTrue",
-            )
+            aligned = read_col(aligned_csv, "ReturnTrue")
             ax.plot(aligned, color=C_OURS, lw=1.6, ls=(0, (4, 2)),
                     label="ours, aligned goal draw", zorder=3)
         ax.set_title(task, color=TEXT, fontsize=12)
@@ -192,17 +188,19 @@ def main() -> None:
             f"**{r['ours_best']:.3f}** @ itr {r['ours_best_iter']} | "
             f"{r['ours_max_success']:.2f} |"
         )
-    with open(os.path.join(RES, "tpil_reference_scale", "summary.json")) as f:
-        tp = json.load(f)
-    reach_best = next(r["ours_best"] for r in rows if r["task"] == "reach")
-    lines += [
-        "",
-        "Baseline (paper's central comparison, reach): TPIL at the reference's",
-        f"500x50 budget reaches best ReturnTrue {tp['best']:.3f} "
-        f"(`tpil_reference_scale/`) vs ours {reach_best:.3f} — the paper's",
-        "ordering (ours > TPIL) reproduces in-rebuild.",
-        "",
-    ]
+    tpil_sum = os.path.join(RES, "tpil_reference_scale", "summary.json")
+    if os.path.isfile(tpil_sum):
+        with open(tpil_sum) as f:
+            tp = json.load(f)
+        reach_best = next(r["ours_best"] for r in rows if r["task"] == "reach")
+        lines += [
+            "",
+            "Baseline (paper's central comparison, reach): TPIL at the reference's",
+            f"500x50 budget reaches best ReturnTrue {tp['best']:.3f} "
+            f"(`tpil_reference_scale/`) vs ours {reach_best:.3f} — the paper's",
+            "ordering (ours > TPIL) reproduces in-rebuild.",
+            "",
+        ]
     var_rows = []
     for task, (vdir, _) in VARIANT_RUNS.items():
         vsum = os.path.join(RES, vdir, "summary.json")

@@ -24,6 +24,7 @@ from imitation_from_observation_tpu.exp.launchers import (
     run_visual_trpo,
     sample_rl_context,
 )
+from imitation_from_observation_tpu.exp.report import done_rows
 
 BASE = os.path.join(os.path.dirname(__file__), "results", "reach_full_recipe")
 LOG = os.path.join(os.path.dirname(__file__), "results", "reach_variants")
@@ -52,10 +53,12 @@ for seed in SEEDS:
             mode="ours", scale=1.0, model_checkpoint=os.path.join(ckpt_dir, ckpt)
         ),
     )
-    os.makedirs(cfg.log_dir, exist_ok=True)
-    with open(os.path.join(cfg.log_dir, "variant.json"), "w") as f:
-        json.dump({"variant": seed, "mode": "ours"}, f)
-    _, hist = run_visual_trpo(cfg, demo_data=demo_data)
+    hist = done_rows(cfg.log_dir, RL_ITERS)  # resume past completed legs
+    if hist is None:
+        os.makedirs(cfg.log_dir, exist_ok=True)
+        with open(os.path.join(cfg.log_dir, "variant.json"), "w") as f:
+            json.dump({"variant": seed, "mode": "ours"}, f)
+        _, hist = run_visual_trpo(cfg, demo_data=demo_data)
     rt = [h["ReturnTrue"] for h in hist]
     sr = [h["SuccessRate"] for h in hist]
     summary[f"v{seed}"] = dict(

@@ -21,16 +21,27 @@ from imitation_from_observation_tpu.sim import NormalizedEnv, make_env
 from imitation_from_observation_tpu.video.io import write_mp4
 
 
-def record_rollout(env, policy, horizon: int, rng: RngStream, record_size=(500, 500)):
-    """Roll out and capture a full-rate frame sequence: [horizon+1, H, W, 3]."""
+def record_rollout(
+    env, policy, horizon: int, rng: RngStream, record_size=(500, 500), n_viewpoints: int = 1
+):
+    """Roll out and capture a full-rate frame sequence: [horizon+1, H, W, 3],
+    or [horizon+1, V, H, W, 3] when ``n_viewpoints > 1`` (every configured
+    camera rendered at every step of the SAME trajectory — multi-viewpoint
+    scoring needs demo coverage of each azimuth it scores at)."""
     base = env.env if isinstance(env, NormalizedEnv) else env
+
+    def snap():
+        if n_viewpoints <= 1:
+            return base.render(0, record_size)
+        return np.stack([base.render(v, record_size) for v in range(n_viewpoints)])
+
     obs = env.reset()
-    frames = [base.render(0, record_size)]
+    frames = [snap()]
     total_true = 0.0
     for _ in range(horizon):
         action, _ = policy.get_action(np.asarray(obs), rng.next())
         obs, _, done, info = env.step(action)
-        frames.append(base.render(0, record_size))
+        frames.append(snap())
         total_true += float(info.get("reward_true", 0.0))
         if done:
             break
@@ -56,7 +67,11 @@ def generate_demo_videos_vec(
     Replaces the one-env-per-video loop (reference gen_videos.py:34-45) for
     large demo counts — 2,000+ videos in minutes instead of hours. Each
     episode gets a fresh context AND fresh camera azimuths (the reference
-    made a new env per video, so viewpoints resample per episode).
+    made a new env per video, so viewpoints resample per episode). With
+    ``n_viewpoints > 1`` in the env config (pinned multi-camera scenes, e.g.
+    the real-pusher recipe) each episode yields one mp4 per viewpoint so the
+    translation training set covers every azimuth the reward engine scores
+    at.
     """
     import json
 
@@ -85,24 +100,32 @@ def generate_demo_videos_vec(
     while len(written) < n_videos and rounds < max_rounds:
         rounds += 1
         obs = vec.reset()
-        frames = [vec.render_frames()[:, 0]]  # initial frame (51-frame demos)
+        frames = [vec.render_frames()]  # initial frame (51-frame demos)
         ep_true = np.zeros(n_envs)
         for _ in range(horizon):
             actions, _ = policy.get_actions(obs, rng.next())
             obs, _, _, infos = vec.step(actions)
-            frames.append(np.stack([inf["frames"][0] for inf in infos]))
+            frames.append(np.stack([inf["frames"] for inf in infos]))
             ep_true += [inf["reward_true"] for inf in infos]
-        clips = np.stack(frames, 1)  # [n_envs, horizon+1, H, W, 3]
+        clips = np.stack(frames, 1)  # [n_envs, horizon+1, V, H, W, 3]
+        # one mp4 per (episode, viewpoint): multi-viewpoint scoring translates
+        # demos into EVERY azimuth's context, so the training set must cover
+        # each camera's views (base.py:195-226 per-vp means; with random
+        # per-episode cameras the reference's demo set spans the azimuth
+        # range the same way)
         for e in range(n_envs):
             if len(written) >= n_videos:
                 break
             if min_true_reward is not None and ep_true[e] < min_true_reward:
                 continue
-            path = os.path.join(out_dir, f"video{i:05d}.mp4")
-            write_mp4(path, clips[e])
-            written.append(path)
-            trues.append(float(ep_true[e]))
-            i += 1
+            for v in range(clips.shape[2]):
+                if len(written) >= n_videos:
+                    break
+                path = os.path.join(out_dir, f"video{i:05d}.mp4")
+                write_mp4(path, clips[e, :, v])
+                written.append(path)
+                trues.append(float(ep_true[e]))
+                i += 1
         log.log(
             f"recorded {len(written)}/{n_videos} demos "
             f"(mean reward_true {np.mean(trues) if trues else 0:.3f})"
@@ -148,18 +171,25 @@ def generate_demo_videos(
     trues = []
     i = 0
     attempts = 0
+    nvp = max(1, int(env_kw.get("n_viewpoints", 1)))
     while len(written) < n_videos and attempts < 10 * n_videos:
         attempts += 1
         env = NormalizedEnv(make_env(task, EnvConfig(name=task, seed=seed + attempts, **env_kw)))
-        frames, total_true = record_rollout(env, policy, horizon, rng, record_size)
+        frames, total_true = record_rollout(
+            env, policy, horizon, rng, record_size, n_viewpoints=nvp
+        )
         env.close()
         if min_true_reward is not None and total_true < min_true_reward:
             continue
-        path = os.path.join(out_dir, f"video{i:05d}.mp4")
-        write_mp4(path, frames)
-        written.append(path)
-        trues.append(total_true)
-        i += 1
+        # one mp4 per viewpoint of the trajectory (see generate_demo_videos_vec)
+        for clip in [frames] if nvp == 1 else [frames[:, v] for v in range(nvp)]:
+            if len(written) >= n_videos:
+                break
+            path = os.path.join(out_dir, f"video{i:05d}.mp4")
+            write_mp4(path, clip)
+            written.append(path)
+            trues.append(total_true)
+            i += 1
         if i % 10 == 0:
             log.log(f"recorded {i}/{n_videos} demos (mean reward_true {np.mean(trues):.3f})")
     # episode-stats manifest (the gym monitor's stats json,

@@ -77,11 +77,13 @@ def group_curves(
 
 
 def render_png_bytes(
-    root: str, y_key: str, group_by: str | None = None, x_key: str = "Iteration"
+    root: str, y_key: str, group_by: str | None = None, x_key: str = "Iteration",
+    curves: dict | None = None,
 ) -> bytes:
     """Mean±std grouped curves as PNG bytes — the single figure builder
     shared by the ``plot`` CLI path and the dashboard (empty result sets
-    render a titled empty figure; the CLI raises instead)."""
+    render a titled empty figure; the CLI raises instead). Pass ``curves``
+    (a ``group_curves`` result) to skip re-walking/parsing the tree."""
     import io
 
     import matplotlib
@@ -89,7 +91,8 @@ def render_png_bytes(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    curves = group_curves(load_experiments(root), y_key, group_by, x_key)
+    if curves is None:
+        curves = group_curves(load_experiments(root), y_key, group_by, x_key)
     fig, ax = plt.subplots(figsize=(7, 4.5))
     for label, (x, mean, std) in sorted(curves.items()):
         ax.plot(x, mean, label=label)
@@ -112,7 +115,7 @@ def plot(root: str, y_key: str, out_path: str, group_by: str | None = None, x_ke
     if not curves:
         raise ValueError(f"no experiments with column {y_key!r} under {root}")
     with open(out_path, "wb") as f:
-        f.write(render_png_bytes(root, y_key, group_by, x_key))
+        f.write(render_png_bytes(root, y_key, group_by, x_key, curves=curves))
     return out_path
 
 

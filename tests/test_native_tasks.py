@@ -148,6 +148,34 @@ def test_generate_demo_videos_vec(tmp_path):
     assert stats["n_videos"] == 5 and len(stats["episode_true_rewards"]) == 5
 
 
+def test_generate_demo_videos_vec_multi_viewpoint(tmp_path):
+    """With pinned n_viewpoints=2 each episode yields one mp4 PER viewpoint
+    (distinct azimuths -> distinct pixels), so the translation training set
+    covers every camera the reward engine scores at (base.py:195-226)."""
+    from imitation_from_observation_tpu.exp.gen_videos import generate_demo_videos_vec
+    from imitation_from_observation_tpu.video.io import decode_video
+
+    class _Zero:
+        def get_actions(self, obs, key=None):
+            return np.zeros((len(obs), 3)), {}
+
+    horizon = 4
+    written = generate_demo_videos_vec(
+        "reacher3dof", _Zero(), str(tmp_path), n_videos=4, horizon=horizon,
+        env_overrides=dict(
+            image_size=(24, 24), render_size=(64, 64),
+            viewpoint=(30.0, 120.0), n_viewpoints=2,
+        ),
+        n_envs=2, frame_backend="tpu",
+    )
+    assert len(written) == 4
+    # videos 0/1 are the SAME episode from the two azimuths: same length,
+    # different pixels; 2/3 are the second episode
+    a, b = decode_video(written[0]), decode_video(written[1])
+    assert a.shape == b.shape == (horizon + 1, 24, 24, 3)
+    assert np.abs(a.astype(int) - b.astype(int)).mean() > 1.0
+
+
 # -- raycast renderer ------------------------------------------------------
 
 

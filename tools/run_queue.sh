@@ -42,15 +42,24 @@ step() {  # step <logfile> <cmd...> — mark active, run, unmark
   return $rc
 }
 
+bench_hold() {
+  # hold while a LIVE bench has requested the relay; a bench killed uncleanly
+  # leaves its request file behind — ignore it once its pid is gone (the
+  # mirror of bench.py's stale-pid check on QUEUE_ACTIVE)
+  while [ -e "$BENCHREQ" ] && kill -0 "$(cat "$BENCHREQ" 2>/dev/null)" 2>/dev/null; do
+    sleep 30
+  done
+}
+
 run() {  # run <logfile> <cmd...> — gate on relay health + bench, one retry
-  while [ -e "$BENCHREQ" ]; do sleep 30; done
+  bench_hold
   until probe; do sleep 120; done
   echo "$(date) start: ${*:2}" >> /tmp/queue_chain.log
   if step "$@"; then
     echo "$(date) done: ${*:2}" >> /tmp/queue_chain.log
   else
     sleep 60
-    while [ -e "$BENCHREQ" ]; do sleep 30; done
+    bench_hold
     until probe; do sleep 120; done
     step "$@"
     echo "$(date) done(retry rc=$?): ${*:2}" >> /tmp/queue_chain.log
