@@ -257,6 +257,12 @@ class VisualRewardEngine:
                     f"device-resident frames require mode 'ours' (got {mode!r} "
                     "— backbone feature paths consume host frames)"
                 )
+            missing = sum("frames_dev" not in p for p in paths)
+            if missing:
+                raise ValueError(
+                    f"mixed batch: {missing}/{len(paths)} paths lack frames_dev "
+                    "— a sampler must hand the engine all-device or all-host frames"
+                )
             batch_u8, ctx_u8 = self._gather_device_frames(paths)
             T = int(batch_u8.shape[1])
         else:

@@ -113,12 +113,18 @@ class BatchPolopt:
     def _record_eval_video(self, itr: int) -> None:
         """Record one evaluation rollout as mp4 (the gym monitor's periodic
         video schedule, gym/monitoring/monitor.py capability)."""
+        from imitation_from_observation_tpu.core.rng import RngStream
         from imitation_from_observation_tpu.exp.gen_videos import record_rollout
         from imitation_from_observation_tpu.video.io import write_mp4
 
         env = self.vec_env.envs[0]
+        # a PRIVATE stream (not the sampler's): the recorder must be a pure
+        # observer — drawing from the shared stream would make every training
+        # rollout after the first video differ between runs with and without
+        # video recording at the same seed
         frames, total_true = record_rollout(
-            env, self.policy, self.cfg.max_path_length, self.sampler.rng
+            env, self.policy, self.cfg.max_path_length,
+            RngStream(self.cfg.seed + 7919 + itr),
         )
         import os
 

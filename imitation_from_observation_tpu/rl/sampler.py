@@ -65,6 +65,16 @@ class VectorizedSampler:
         self.batch_size = batch_size
         self.max_path_length = max_path_length
         self.rng = RngStream(seed)
+        # trajectory cutting is delegated to the vec env (VecEnvExecutor's
+        # auto-reset at the limit, vec_env_executor.py:30-40): if its limit is
+        # absent or different, paths would silently run long (or, with a task
+        # that never terminates, collection would spin forever) — fail loudly
+        env_limit = getattr(vec_env, "max_path_length", None)
+        if env_limit is not None and env_limit != max_path_length:
+            raise ValueError(
+                f"vec env max_path_length={env_limit} != sampler's "
+                f"{max_path_length}; construct the vec env with the RL config's limit"
+            )
 
     def obtain_samples(self) -> tuple[list[dict[str, Any]], dict[str, float]]:
         if hasattr(self.vec_env, "step_batch"):
@@ -109,6 +119,11 @@ class VectorizedSampler:
                     running[i] = dict(
                         observations=[], actions=[], rewards=[], env_infos=[], agent_infos=[]
                     )
+                elif len(running[i]["rewards"]) > self.max_path_length:
+                    raise RuntimeError(
+                        f"env {i} exceeded max_path_length={self.max_path_length} "
+                        "without done — the vec env is not enforcing its limit"
+                    )
             if np.any(dones) and hasattr(self.policy, "reset_where"):
                 self.policy.reset_where(dones)  # recurrent state of restarted envs
             obs = next_obs
@@ -147,6 +162,11 @@ class VectorizedSampler:
             frm_s.append(info["frames"])
             ag_s.append(agent_infos)
             obs = next_obs
+            if not done and len(rew_s) > self.max_path_length:
+                raise RuntimeError(
+                    f"lockstep episode exceeded max_path_length={self.max_path_length} "
+                    "without done — the vec env is not enforcing its limit"
+                )
             if done:
                 block = (
                     vec.pop_episode_frames()

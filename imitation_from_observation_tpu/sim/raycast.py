@@ -322,15 +322,24 @@ class TpuRenderer:
     def render_device(self, xpos, xmat, rgba, cams) -> jax.Array:
         """Like :meth:`render` but returns the jax device array without the
         blocking device->host fetch — frames stay resident for an on-device
-        consumer (the reward engine's scorer)."""
+        consumer (the reward engine's scorer).
+
+        Every input is COPIED before dispatch: the call is async and PJRT's
+        host-to-device transfer may still be reading the host buffer after
+        this returns, while callers (the vec env) mutate their geom/camera
+        arrays in place on the next reset — an `np.asarray` no-copy view of
+        e.g. a float32 ``geom_rgba`` intermittently rendered this episode's
+        last frames with the NEXT episode's colors (caught by
+        tests/test_native_tasks.py::test_sampler_engine_device_frames_end_to_end)."""
         n, v = cams.shape[:2]
-        rep = lambda a: np.repeat(np.asarray(a, np.float32), v, axis=0) if v > 1 else np.asarray(a, np.float32)
+        cp = lambda a: np.array(a, np.float32, copy=True)
+        rep = lambda a: np.repeat(cp(a), v, axis=0) if v > 1 else cp(a)
         out = render_batch(
             self.spec,
             rep(xpos),
             rep(xmat),
             rep(rgba),
-            np.asarray(cams, np.float32).reshape(n * v, 6),
+            cp(cams).reshape(n * v, 6),
             self.h,
             self.w,
             self.ss,

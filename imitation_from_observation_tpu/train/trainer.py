@@ -86,7 +86,17 @@ class TranslationTrainer:
 
         n_train = min(train_cfg.n_train, vdata.shape[1])
         self.train_data = vdata[:, :n_train]
-        self.valid_data = vdata[:, n_train:] if vdata.shape[1] > n_train else vdata[:, :n_train]
+        if vdata.shape[1] > n_train:
+            self.valid_data = vdata[:, n_train:]
+        else:
+            # no held-out videos (n_train >= dataset): fall back to the train
+            # split, but say so — 'E' rows / validloss / loss-stamped ckpt
+            # names then track TRAINING data and can't surface overfitting
+            self.valid_data = vdata[:, :n_train]
+            self.log.log(
+                f"WARNING: n_train={train_cfg.n_train} >= dataset size "
+                f"{vdata.shape[1]}; validation metrics use TRAINING videos"
+            )
         self.train_sampler = PairSampler(self.train_data, self.batch_size, seed=train_cfg.seed)
         self.valid_sampler = PairSampler(self.valid_data, self.batch_size, seed=train_cfg.seed + 1)
 
@@ -123,7 +133,6 @@ class TranslationTrainer:
         return TrainState(params, opt_state, step)
 
     def _loss_fn(self, params, src, ctx, tgt, dropout_key):
-        kwargs = {}
         if self._has_dropout:
             outs = self.model.apply(
                 params, src, ctx, tgt, deterministic=False, rngs={"dropout": dropout_key}
@@ -208,24 +217,36 @@ class TranslationTrainer:
         n_iters = n_iters if n_iters is not None else cfg.n_iters
         t0 = time.perf_counter()
         K = max(1, cfg.steps_per_call) if cfg.on_device_data else 1
-        for itr in range(K, n_iters + 1, K):
+        # the fused call can't stop mid-scan: round the total UP to a multiple
+        # of K (never silently train fewer steps than asked)
+        total = -(-n_iters // K) * K
+
+        def crossed(itr: int, every: int) -> bool:
+            # did steps (itr-K, itr] cross a multiple of `every`? (== the
+            # "cadence rounded to multiples of steps_per_call" the config
+            # documents; reduces to itr % every == 0 when K == 1)
+            return itr // every > (itr - K) // every
+
+        for itr in range(K, total + 1, K):
             if cfg.on_device_data:
                 self.state, metrics = self._train_step_dev(self.state, self._train_data_dev)
             else:
                 src, ctx, tgt = self._device_batch(self.train_sampler.sample())
                 self.state, metrics = self._train_step(self.state, src, ctx, tgt)
-            if itr % cfg.log_every == 0:
+            if crossed(itr, cfg.log_every):
                 m = {k: float(v) for k, v in metrics.items()}
                 self.log.log(
                     f"{itr} loss={m['loss']:.2f} sim={m['simloss']:.3f} "
                     f"r1={m['recon1']:.2f} r2={m['recon2']:.2f}"
                 )
-            if itr % cfg.eval_every == 0 or itr % cfg.save_every == 0:
-                self._evaluate_and_maybe_save(itr, t0)
+            if crossed(itr, cfg.eval_every) or crossed(itr, cfg.save_every):
+                self._evaluate_and_maybe_save(itr, t0, save=crossed(itr, cfg.save_every))
         return self.state
 
-    def _evaluate_and_maybe_save(self, itr: int, t0: float) -> None:
+    def _evaluate_and_maybe_save(self, itr: int, t0: float, save: bool | None = None) -> None:
         cfg = self.cfg
+        if save is None:
+            save = itr % cfg.save_every == 0
         src, ctx, tgt = self._device_batch(self.valid_sampler.sample())
         metrics, _ = self._eval_step(self.state.params, src, ctx, tgt)
         m = {k: float(v) for k, v in metrics.items()}
@@ -234,7 +255,7 @@ class TranslationTrainer:
             f"{itr} loss={m['loss']:.2f} sim={m['simloss']:.3f} r1={m['recon1']:.2f} "
             f"r2={m['recon2']:.2f} nn_err={m['nn_err']:.0f} E"
         )
-        if itr % cfg.save_every == 0:
+        if save:
             ckdir = os.path.join(self.log_dir, cfg.checkpoint_dir, str(itr))
             name = f"model_{itr}_{m['loss']:.2f}_{m['recon1']:.2f}_{m['recon2']:.2f}_{m['nn_err']:.0f}"
             save_pytree(os.path.join(ckdir, name), self.state.params, step=itr, meta=m)

@@ -43,13 +43,16 @@ class PointEnv:
 
 
 class _VecPoint:
-    def __init__(self, n, seed=0):
+    def __init__(self, n, seed=0, max_path=20):
         self.envs = [PointEnv(seed + i) for i in range(n)]
         self.n_envs = n
         self.action_space = self.envs[0].action_space
         self.observation_space = self.envs[0].observation_space
         self._t = np.zeros(n, int)
-        self.max_path = 20
+        self.max_path = max_path
+        # the sampler validates the vec env enforces the SAME limit it was
+        # configured with (sampler.py) — expose it like the real vec envs
+        self.max_path_length = max_path
 
     def reset(self):
         self._t[:] = 0
@@ -172,7 +175,7 @@ def test_best_iterate_snapshot(tmp_path):
                 info["reward_true"] = rewards[i]
             return obs, rewards, dones, infos
 
-    vec = _TrueRewardVec(5, seed=0)
+    vec = _TrueRewardVec(5, seed=0, max_path=10)
     pol = GaussianMLPPolicy(obs_dim=2, action_dim=2, hidden=(8,), init_std=1.0, seed=0)
     cfg = RLConfig(batch_size=100, max_path_length=10, n_iters=4, snapshot_mode="none")
     algo = BatchPolopt(
@@ -387,7 +390,7 @@ def test_lstm_policy_recurrent_trpo():
     branch): runs, improves, keeps finite params."""
     from imitation_from_observation_tpu.rl.policies_extra import GaussianLSTMPolicy
 
-    vec = _VecPoint(8, seed=0)
+    vec = _VecPoint(8, seed=0, max_path=12)
     pol = GaussianLSTMPolicy(obs_dim=2, action_dim=2, hidden=8, init_std=1.0, seed=0)
     import tempfile
 

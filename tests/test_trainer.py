@@ -93,3 +93,28 @@ def test_trainer_fused_steps(tmp_path):
     tr = TranslationTrainer(model_cfg, cfg, vdata, log_dir=str(tmp_path))
     tr.train()
     assert int(tr.state.step) == 9
+
+
+def test_trainer_cadence_rounds_to_fused_calls(tmp_path, monkeypatch):
+    """With K-fused calls, log/eval/save fire whenever the K-window CROSSES a
+    multiple of the cadence (not only when itr lands exactly on one), and the
+    total step count rounds UP so n_iters is never silently under-trained."""
+    vdata = _synthetic_vdata(T=4, N=6, hw=16)
+    model_cfg = TranslationModelConfig(
+        model="context_skip", image_size=(16, 16), base_filters=8, feat_size=32
+    )
+    # K=5, eval_every=4: the old `itr % 4 == 0` fired only at itr 20 (lcm);
+    # crossing fires at every call. n_iters=12 rounds up to 15 (3 calls).
+    cfg = TrainConfig(batch_size=8, n_train=4, n_iters=12, steps_per_call=5,
+                      eval_every=4, save_every=1000, log_every=1000,
+                      learning_rate=1e-3)
+    tr = TranslationTrainer(model_cfg, cfg, vdata, log_dir=str(tmp_path))
+    evals = []
+    monkeypatch.setattr(
+        tr, "_evaluate_and_maybe_save",
+        lambda itr, t0, save=None: evals.append((itr, save)),
+    )
+    tr.train()
+    assert int(tr.state.step) == 15  # rounded up, not 10 (and not 0)
+    assert [e[0] for e in evals] == [5, 10, 15]  # crossings of every=4
+    assert all(e[1] is False for e in evals)  # save_every=1000 never crossed
