@@ -438,12 +438,17 @@ def _main_gated(max_wait: float) -> None:
         return
     # even with the relay gate disabled (max_wait=0), a concurrent queue step
     # still serializes the relay — check once so corrupted timings are at
-    # least labeled and never cached as last-good
-    contended = (
-        _queue_step_running()
-        if max_wait <= 0
-        else not wait_for_queue_idle(max_wait)
-    )
+    # least labeled and never cached as last-good. BENCH_AS_QUEUE_STEP=1 is
+    # set when bench itself runs AS a queue step: the active-sentinel then
+    # belongs to this very run, so waiting on it would deadlock.
+    if os.environ.get("BENCH_AS_QUEUE_STEP"):
+        contended = False
+    else:
+        contended = (
+            _queue_step_running()
+            if max_wait <= 0
+            else not wait_for_queue_idle(max_wait)
+        )
     fps = measure()
     try:
         base = cpu_baseline()
