@@ -10,7 +10,6 @@
 //   mjb_create(xml_path, n)       -> pool handle (NULL on failure)
 //   mjb_sizes(pool, &nq,&nv,&nu)
 //   mjb_step(pool, ctrl[N*nu], n_substeps)
-//   mjb_forward(pool)
 //   mjb_get_state / mjb_set_state (qpos [N*nq], qvel [N*nv])
 //   mjb_set_state_one(pool, i, qpos, qvel)
 //   mjb_reset(pool, i)            -> mj_resetData for one sim
@@ -38,6 +37,7 @@
 #include <dlfcn.h>
 
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <vector>
 
@@ -84,8 +84,13 @@ struct Egl {
 
 static Egl g_egl;  // one process-wide GL context for all pools
 static char g_error[1024] = {0};
+// One EGL context can be current on ONE thread at a time, and ctypes
+// releases the GIL for every call — all GL work (init, make-current,
+// render, context teardown) serializes on this mutex so overlapping host
+// threads cannot steal the context mid-render or race a partial g_egl.
+static std::mutex g_gl_mu;
 
-static bool egl_init() {
+static bool egl_init_locked() {
   if (g_egl.ok) return true;
   // libOpenGL first with RTLD_GLOBAL so GL symbol resolution works for
   // libmujoco's loader (mirrors mujoco/egl/egl_ext.py)
@@ -158,8 +163,14 @@ static bool egl_init() {
   return true;
 }
 
-static void egl_make_current() {
-  if (g_egl.ok) g_egl.MakeCurrent(g_egl.dpy, g_egl.surf, g_egl.surf, g_egl.ctx);
+static bool egl_make_current_locked() {
+  if (!g_egl.ok) return false;
+  if (!g_egl.MakeCurrent(g_egl.dpy, g_egl.surf, g_egl.surf, g_egl.ctx)) {
+    std::snprintf(g_error, sizeof(g_error),
+                  "eglMakeCurrent failed (context current on another thread?)");
+    return false;
+  }
+  return true;
 }
 
 struct Pool {
@@ -179,9 +190,11 @@ struct Pool {
 
   ~Pool() {
     if (render_ready) {
-      egl_make_current();
-      mjr_freeContext(&con);
-      mjv_freeScene(&scn);
+      std::lock_guard<std::mutex> lk(g_gl_mu);
+      if (egl_make_current_locked()) {
+        mjr_freeContext(&con);
+        mjv_freeScene(&scn);
+      }  // else: leak the GL objects rather than free against a wrong context
     }
     for (auto* d : datas)
       if (d) mj_deleteData(d);
@@ -241,11 +254,6 @@ void mjb_step(void* handle, const double* ctrl, int n_substeps) {
   }
 }
 
-void mjb_forward(void* handle) {
-  auto* p = static_cast<Pool*>(handle);
-  for (int i = 0; i < p->n; ++i) mj_forward(p->models[i], p->datas[i]);
-}
-
 void mjb_get_state(void* handle, double* qpos, double* qvel) {
   auto* p = static_cast<Pool*>(handle);
   const int nq = p->proto->nq, nv = p->proto->nv;
@@ -298,13 +306,6 @@ void mjb_site_xpos(void* handle, int site_id, double* out) {
     std::memcpy(out + (size_t)i * 3, &p->datas[i]->site_xpos[3 * site_id], sizeof(double) * 3);
 }
 
-void mjb_body_com(void* handle, int body_id, double* out) {
-  // alias of subtree_com kept for naming parity with MujocoTask.body_com
-  auto* p = static_cast<Pool*>(handle);
-  for (int i = 0; i < p->n; ++i)
-    std::memcpy(out + (size_t)i * 3, &p->datas[i]->subtree_com[3 * body_id], sizeof(double) * 3);
-}
-
 void mjb_geom_state(void* handle, double* xpos, double* xmat) {
   // Export per-env world geom poses [n, ngeom, 3] + [n, ngeom, 9] for the
   // on-device raycast renderer (sim/raycast.py) — the whole scene state a
@@ -336,12 +337,13 @@ void mjb_sync_geoms(void* handle, int i, const float* rgba, const double* pos) {
 int mjb_render_setup(void* handle, int width, int height, int fast) {
   auto* p = static_cast<Pool*>(handle);
   if (p->render_ready) return 0;
-  if (!egl_init()) return -1;
+  std::lock_guard<std::mutex> lk(g_gl_mu);
+  if (!egl_init_locked()) return -1;
   // egl_init only binds on FIRST init; python mujoco.Renderer instances
   // bind their own contexts (and unbind on close) in between, and
   // mjr_makeContext with no current context dies in mju_error ("Default
   // framebuffer is not complete, error 0x0") — rebind ours explicitly.
-  egl_make_current();
+  if (!egl_make_current_locked()) return -1;
   p->rw = width;
   p->rh = height;
   p->fast = fast != 0;
@@ -384,8 +386,9 @@ int mjb_render(void* handle, const double* cams, int nvp, unsigned char* out) {
     std::snprintf(g_error, sizeof(g_error), "mjb_render before mjb_render_setup");
     return -1;
   }
-  egl_make_current();  // another context (e.g. python mujoco.Renderer) may
-                       // have been made current on this thread in between
+  std::lock_guard<std::mutex> lk(g_gl_mu);
+  if (!egl_make_current_locked()) return -1;  // another context (e.g. python
+                       // mujoco.Renderer) may have bound this thread in between
   const int w = p->rw, h = p->rh;
   const size_t frame_bytes = (size_t)w * h * 3;
   mjrRect viewport = {0, 0, w, h};

@@ -4,10 +4,11 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 
 import numpy as np
+
+from imitation_from_observation_tpu.core.native_build import build_and_load
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_HERE, "libmjbatch.so")
@@ -20,21 +21,17 @@ def _ensure_built() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
-            subprocess.run(
-                ["sh", os.path.join(_HERE, "build_mjbatch.sh")],
-                check=True,
-                capture_output=True,
-                text=True,
-            )
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = build_and_load(
+            _LIB_PATH,
+            os.path.join(_HERE, "build_mjbatch.sh"),
+            [os.path.join(_HERE, "mjbatch.cpp")],
+        )
         dp = ctypes.POINTER(ctypes.c_double)
         lib.mjb_create.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.mjb_create.restype = ctypes.c_void_p
         lib.mjb_destroy.argtypes = [ctypes.c_void_p]
         lib.mjb_sizes.argtypes = [ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_int)] * 3
         lib.mjb_step.argtypes = [ctypes.c_void_p, dp, ctypes.c_int]
-        lib.mjb_forward.argtypes = [ctypes.c_void_p]
         lib.mjb_get_state.argtypes = [ctypes.c_void_p, dp, dp]
         lib.mjb_set_state.argtypes = [ctypes.c_void_p, dp, dp]
         lib.mjb_reset.argtypes = [ctypes.c_void_p, ctypes.c_int]
@@ -44,7 +41,6 @@ def _ensure_built() -> ctypes.CDLL:
         ubp = ctypes.POINTER(ctypes.c_ubyte)
         lib.mjb_step_fwd.argtypes = [ctypes.c_void_p, dp, ctypes.c_int, ctypes.c_int]
         lib.mjb_site_xpos.argtypes = [ctypes.c_void_p, ctypes.c_int, dp]
-        lib.mjb_body_com.argtypes = [ctypes.c_void_p, ctypes.c_int, dp]
         lib.mjb_geom_state.argtypes = [ctypes.c_void_p, dp, dp]
         lib.mjb_set_state_one.argtypes = [ctypes.c_void_p, ctypes.c_int, dp, dp]
         lib.mjb_ngeom.argtypes = [ctypes.c_void_p]
@@ -90,6 +86,7 @@ class NativeBatchSim:
             self._lib.mjb_step(self._pool, _ptr(ctrl), n_substeps)
 
     def site_xpos(self, site_id: int) -> np.ndarray:
+        assert site_id >= 0, f"invalid site id {site_id} (unknown name? mj_name2id returns -1)"
         out = np.empty((self.n, 3), np.float64)
         self._lib.mjb_site_xpos(self._pool, site_id, _ptr(out))
         return out
@@ -111,12 +108,15 @@ class NativeBatchSim:
     def set_state(self, qpos: np.ndarray, qvel: np.ndarray) -> None:
         qpos = np.ascontiguousarray(qpos, np.float64)
         qvel = np.ascontiguousarray(qvel, np.float64)
+        assert qpos.shape == (self.n, self.nq), (qpos.shape, (self.n, self.nq))
+        assert qvel.shape == (self.n, self.nv), (qvel.shape, (self.n, self.nv))
         self._lib.mjb_set_state(self._pool, _ptr(qpos), _ptr(qvel))
 
     def reset(self, i: int) -> None:
         self._lib.mjb_reset(self._pool, i)
 
     def subtree_com(self, body_id: int) -> np.ndarray:
+        assert body_id >= 0, f"invalid body id {body_id} (unknown name? mj_name2id returns -1)"
         out = np.empty((self.n, 3), np.float64)
         self._lib.mjb_subtree_com(self._pool, body_id, _ptr(out))
         return out
@@ -124,6 +124,8 @@ class NativeBatchSim:
     def set_state_one(self, i: int, qpos: np.ndarray, qvel: np.ndarray) -> None:
         qpos = np.ascontiguousarray(qpos, np.float64)
         qvel = np.ascontiguousarray(qvel, np.float64)
+        assert qpos.shape == (self.nq,), (qpos.shape, self.nq)
+        assert qvel.shape == (self.nv,), (qvel.shape, self.nv)
         self._lib.mjb_set_state_one(self._pool, i, _ptr(qpos), _ptr(qvel))
 
     @property
@@ -172,6 +174,8 @@ class NativeBatchSim:
         cams = np.ascontiguousarray(cams, np.float64)
         assert cams.ndim == 3 and cams.shape[0] == self.n and cams.shape[2] == 6
         nvp = cams.shape[1]
+        if getattr(self, "_render_hw", None) is None:
+            raise RuntimeError("render() before render_setup()")
         h, w = self._render_hw
         out = np.empty((self.n, nvp, h, w, 3), np.uint8)
         rc = self._lib.mjb_render(

@@ -76,6 +76,12 @@ class NativeVecTask:
             n: mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_SITE, n)
             for n in self.SITE_NAMES
         }
+        # mj_name2id returns -1 for unknown names with no error; a typo'd
+        # BODY_NAMES entry would otherwise read out of bounds in C every step
+        for kind, ids in (("body", self._bid), ("site", self._sid)):
+            missing = [n for n, i in ids.items() if i < 0]
+            if missing:
+                raise ValueError(f"unknown {kind} name(s) {missing} in {xml}")
         ctrl = self.model.actuator_ctrlrange.astype(np.float64)
         self._ctrl_lo, self._ctrl_hi = ctrl[:, 0], ctrl[:, 1]
         self.frame_skip = self.config.frame_skip or 5

@@ -9,10 +9,11 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 
 import numpy as np
+
+from imitation_from_observation_tpu.core.native_build import build_and_load
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_HERE, "libvideodec.so")
@@ -25,14 +26,11 @@ def _ensure_built() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
-            subprocess.run(
-                ["sh", os.path.join(_HERE, "build.sh")],
-                check=True,
-                capture_output=True,
-                text=True,
-            )
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = build_and_load(
+            _LIB_PATH,
+            os.path.join(_HERE, "build.sh"),
+            [os.path.join(_HERE, "videodec.cpp")],
+        )
         lib.vd_decode.argtypes = [
             ctypes.c_char_p,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
@@ -64,6 +62,12 @@ def decode(path: str) -> np.ndarray:
     return arr.reshape(t.value, h.value, w.value, 3)
 
 
-def frame_count(path: str) -> int:
+def frame_count(path: str) -> int | None:
+    """Container-recorded frame count; ``None`` when the container does not
+    record one (decode() to count exactly). Raises on unreadable files —
+    negative C error codes must not masquerade as counts."""
     lib = _ensure_built()
-    return lib.vd_frame_count(path.encode())
+    n = lib.vd_frame_count(path.encode())
+    if n < 0:
+        raise RuntimeError(f"cannot probe {path!r} (code {n})")
+    return n if n > 0 else None

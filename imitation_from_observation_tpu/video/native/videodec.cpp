@@ -123,12 +123,26 @@ int vd_decode(const char* path, uint8_t** out_buf, int* out_t, int* out_h, int* 
 
   while (av_read_frame(c.fmt, c.pkt) >= 0) {
     if (c.pkt->stream_index == c.stream_index) {
-      if (avcodec_send_packet(c.codec, c.pkt) == 0) {
+      int sr = avcodec_send_packet(c.codec, c.pkt);
+      if (sr == AVERROR(EAGAIN)) {
+        // decoder output full: drain queued frames, then the packet MUST be
+        // resent (dropping it would silently shorten the video)
         rc = drain();
-        if (rc != 0) {
+        if (rc == 0) sr = avcodec_send_packet(c.codec, c.pkt);
+        if (rc != 0 || sr < 0) {
           av_packet_unref(c.pkt);
-          return rc;
+          return rc != 0 ? rc : -13;
         }
+      } else if (sr < 0) {
+        // corrupt packet: fail loudly — a silent skip would truncate the
+        // demo and (via the reward engine's min-T alignment) every other one
+        av_packet_unref(c.pkt);
+        return -13;
+      }
+      rc = drain();
+      if (rc != 0) {
+        av_packet_unref(c.pkt);
+        return rc;
       }
     }
     av_packet_unref(c.pkt);
