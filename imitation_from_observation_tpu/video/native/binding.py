@@ -37,9 +37,10 @@ def _ensure_built() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_void_p),
         ]
         lib.vd_decode.restype = ctypes.c_int
-        lib.vd_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        lib.vd_free_handle.argtypes = [ctypes.c_void_p]
         lib.vd_frame_count.argtypes = [ctypes.c_char_p]
         lib.vd_frame_count.restype = ctypes.c_int
         _lib = lib
@@ -47,18 +48,26 @@ def _ensure_built() -> ctypes.CDLL:
 
 
 def decode(path: str) -> np.ndarray:
-    """Decode a video to uint8 RGB frames [T, H, W, 3] via the C++ module."""
+    """Decode a video to uint8 RGB frames [T, H, W, 3] via the C++ module.
+
+    The C side hands out a pointer INTO its accumulation buffer (no duplicate
+    copy); the single copy here gives numpy ownership, then the handle frees
+    the C storage."""
     lib = _ensure_built()
     buf = ctypes.POINTER(ctypes.c_uint8)()
     t, h, w = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
-    rc = lib.vd_decode(path.encode(), ctypes.byref(buf), ctypes.byref(t), ctypes.byref(h), ctypes.byref(w))
+    handle = ctypes.c_void_p()
+    rc = lib.vd_decode(
+        path.encode(), ctypes.byref(buf), ctypes.byref(t), ctypes.byref(h),
+        ctypes.byref(w), ctypes.byref(handle),
+    )
     if rc != 0:
         raise RuntimeError(f"native decode failed for {path!r} (code {rc})")
     try:
         n = t.value * h.value * w.value * 3
         arr = np.ctypeslib.as_array(buf, shape=(n,)).copy()
     finally:
-        lib.vd_free(buf)
+        lib.vd_free_handle(handle)
     return arr.reshape(t.value, h.value, w.value, 3)
 
 

@@ -7,8 +7,10 @@
 // device-side preprocessing graph — no pipe, no per-frame python hop.
 //
 // C ABI (consumed by ctypes in binding.py):
-//   vd_decode(path, &buf, &T, &H, &W) -> 0 on success, negative error code
-//   vd_free(buf)
+//   vd_decode(path, &buf, &T, &H, &W, &handle) -> 0 on success, negative code
+//       buf points INTO the handle's storage (no duplicate copy); the caller
+//       copies out and then calls vd_free_handle(handle)
+//   vd_free_handle(handle)
 //   vd_frame_count(path)              -> quick container probe
 //
 // Build: see build.sh (g++ -shared, links system libav*).
@@ -102,21 +104,30 @@ int push_rgb(DecoderCtx& c, std::vector<uint8_t>& out, int& H, int& W) {
 
 extern "C" {
 
-int vd_decode(const char* path, uint8_t** out_buf, int* out_t, int* out_h, int* out_w) {
+int vd_decode(const char* path, uint8_t** out_buf, int* out_t, int* out_h, int* out_w,
+              void** out_handle) {
   DecoderCtx c;
   int rc = c.open(path);
   if (rc != 0) return rc;
 
-  std::vector<uint8_t> out;
+  auto* out_vec = new std::vector<uint8_t>();
+  std::vector<uint8_t>& out = *out_vec;
   int T = 0, H = 0, W = 0;
+  // a 500-frame 299x299 video is ~134 MB: hand the vector's own storage
+  // across the ABI instead of malloc+memcpy'ing a duplicate, and reserve
+  // from the container's frame count to avoid doubling-growth slack
+  struct Guard { std::vector<uint8_t>* v; ~Guard() { delete v; } } guard{out_vec};
+  const int64_t nb = c.fmt->streams[c.stream_index]->nb_frames;
 
   auto drain = [&](void) -> int {
     while (true) {
       int r = avcodec_receive_frame(c.codec, c.frame);
       if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return 0;
       if (r < 0) return -10;
+      const bool first = (H == 0);
       r = push_rgb(c, out, H, W);
       if (r != 0) return r;
+      if (first && nb > 0) out.reserve((size_t)nb * H * W * 3);
       ++T;
     }
   };
@@ -152,17 +163,16 @@ int vd_decode(const char* path, uint8_t** out_buf, int* out_t, int* out_h, int* 
   if (rc != 0) return rc;
   if (T == 0) return -11;
 
-  uint8_t* buf = (uint8_t*)std::malloc(out.size());
-  if (!buf) return -12;
-  std::memcpy(buf, out.data(), out.size());
-  *out_buf = buf;
+  guard.v = nullptr;  // ownership moves to the caller's handle
+  *out_buf = out.data();
   *out_t = T;
   *out_h = H;
   *out_w = W;
+  *out_handle = out_vec;
   return 0;
 }
 
-void vd_free(uint8_t* p) { std::free(p); }
+void vd_free_handle(void* h) { delete static_cast<std::vector<uint8_t>*>(h); }
 
 int vd_frame_count(const char* path) {
   DecoderCtx c;
