@@ -56,6 +56,8 @@ def _context_feat(cfg: TranslationModelConfig) -> ContextFeat:
         kernels=tuple(cfg.kernels),
         filters=tuple(cfg.filters),
         feat_size=cfg.feat_size,
+        feature_hw=tuple(cfg.feature_hw) if cfg.feature_hw else (8, 8),
+        feature_channels=cfg.feature_channels or 2048,
     )
 
 

@@ -19,9 +19,14 @@ surrogate).
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
-LOG_2PI = jnp.log(2.0 * jnp.pi)
+# plain-python constant: a jnp computation here would initialize a backend at
+# import time, making every CLI (even pure plotting) fail when no device is
+# reachable (observed: relay-outage import crashes in the study scripts)
+LOG_2PI = math.log(2.0 * math.pi)
 
 
 def log_likelihood(actions, dist_info):

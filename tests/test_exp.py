@@ -408,3 +408,83 @@ def test_report_helpers(tmp_path):
         w.writerow(hist[2])
     rows = done_rows(str(tmp_path), 3)
     assert [r["ReturnTrue"] for r in rows] == [h["ReturnTrue"] for h in hist[:3]]
+
+
+def test_inception_feature_pipeline_launchers(tmp_path):
+    """The launcher path of examples/strike_inception_demo.py stages 2-4 at
+    CPU-tiny shapes: uint8 demos -> backbone feature maps ->
+    run_translation_training(vdata=<features>) with model='context_feat'
+    (run_train_strike_inception.py:39-43 role) -> run_visual_trpo with
+    mode='oursinception' + explicit feature_fn (run_trpo_inception.py:70-173
+    role). Also pins that build_model honors the config's feature_hw /
+    feature_channels (the engine constructs its model from config alone)."""
+    import jax.numpy as jnp
+
+    from imitation_from_observation_tpu.core.config import (
+        ExperimentConfig,
+        RewardConfig,
+        TrainConfig,
+        TranslationModelConfig,
+    )
+    from imitation_from_observation_tpu.exp.launchers import (
+        run_translation_training,
+        run_visual_trpo,
+    )
+    from imitation_from_observation_tpu.models import build_model
+
+    hw, horizon = 16, 6
+    F_HW, F_C = 4, 8
+    n_videos, n_train = 6, 4
+
+    def feature_fn(frames_u8):  # stand-in backbone: avg-pool + channel tile
+        x = jnp.asarray(frames_u8, jnp.float32) / 255.0 * 2 - 1
+        x = x.reshape(x.shape[0], F_HW, hw // F_HW, F_HW, hw // F_HW, 3).mean(axis=(2, 4))
+        return jnp.tile(x, (1, 1, 1, F_C // 3 + 1))[..., :F_C]
+
+    cfg = ExperimentConfig(
+        name="tiny_inception",
+        log_dir=str(tmp_path),
+        env=EnvConfig(
+            name="pusher3dof", image_size=(hw, hw), render_size=(64, 64),
+            horizon=horizon,
+        ),
+        model=TranslationModelConfig(
+            model="context_feat", strides=(1, 2, 1, 2), kernels=(3, 3, 3, 3),
+            filters=(8, 8, 8, 8), feat_size=16,
+            feature_hw=(F_HW, F_HW), feature_channels=F_C,
+        ),
+        train=TrainConfig(
+            batch_size=4, n_iters=3, n_videos=n_videos, n_train=n_train,
+            eval_every=2, save_every=1000, log_every=100,
+        ),
+        rl=RLConfig(
+            batch_size=2 * horizon, max_path_length=horizon, n_envs=2,
+            n_iters=1, snapshot_mode="none", policy_hidden=(8,), init_std=1.0,
+        ),
+        reward=RewardConfig(mode="oursinception", scale=0.01, skip=1),
+    )
+
+    model = build_model(cfg.model)
+    assert model.feature_hw == (F_HW, F_HW) and model.feature_channels == F_C
+
+    # uint8 demo frames [T, N, H, W, C] and their backbone feature maps
+    rng = np.random.default_rng(0)
+    T = horizon // 2
+    demo_u8 = rng.integers(0, 255, (T, n_videos, hw, hw, 3), dtype=np.uint8)
+    feat_vdata = np.stack(
+        [np.asarray(feature_fn(demo_u8[t]), np.float32) for t in range(T)]
+    )
+    assert feat_vdata.shape == (T, n_videos, F_HW, F_HW, F_C)
+
+    trainer = run_translation_training(cfg, video_glob="", vdata=feat_vdata)
+    assert int(trainer.state.step) == 3
+
+    policy, history = run_visual_trpo(
+        cfg,
+        params=trainer.state.params,
+        demo_data=demo_u8[:, n_train:],
+        feature_fn=feature_fn,
+    )
+    assert len(history) == 1
+    assert history[0]["AverageReturn"] < 0  # visual costs spliced
+    assert np.isfinite(history[0]["ReturnTrue"])

@@ -166,13 +166,10 @@ def test_oursinception_mode_smoke():
         kernels=(3, 3, 3, 3),
         filters=(16, 16, 8, 8),
         feat_size=16,
+        feature_hw=(F_HW, F_HW),
+        feature_channels=F_C,
     )
-    from imitation_from_observation_tpu.models import ContextFeat
-
-    model = ContextFeat(
-        strides=(1, 2, 1, 2), kernels=(3, 3, 3, 3), filters=(16, 16, 8, 8),
-        feat_size=16, feature_hw=(F_HW, F_HW), feature_channels=F_C,
-    )
+    model = build_model(model_cfg)  # config carries the feature-map shape
     x = jnp.zeros((1, F_HW, F_HW, F_C), jnp.float32)
     params = model.init(jax.random.key(0), x, x, x)
     rng = np.random.default_rng(0)
@@ -184,9 +181,6 @@ def test_oursinception_mode_smoke():
         demo_data=demo_u8,
         feature_fn=feature_fn,
     )
-    # engine builds its own model from cfg; override with our custom-shape one
-    eng.model = model
-    eng._build_jits()
     paths = _make_paths(n_paths=2, seed=9)
     eng.process(paths)
     assert paths[0]["rewards"][3] < 0  # costs spliced
