@@ -107,3 +107,31 @@ def test_box_space():
     x = b.sample(np.random.default_rng(0))
     assert b.contains(x)
     assert not b.contains(np.array([2.0, 0, 0]))
+
+
+def test_package_imports_without_a_device():
+    """Importing any module must not initialize a jax backend: the study
+    CLIs (plotting, spec tooling) have to work while the TPU relay is down,
+    and import-time device constants once made even viskit crash during an
+    outage. JAX_PLATFORMS points at a platform that cannot initialize, so
+    any import-time backend touch raises."""
+    import subprocess
+    import sys
+
+    code = (
+        "import pkgutil, importlib\n"
+        "import imitation_from_observation_tpu as pkg\n"
+        "for m in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + '.'):\n"
+        "    if m.name.rsplit('.', 1)[-1].startswith('lib'):\n"
+        "        continue  # native ctypes .so files, not python modules\n"
+        "    importlib.import_module(m.name)\n"
+        "print('device-free import ok')\n"
+    )
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="no_such_platform", PYTHONPATH=root)
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "device-free import ok" in out.stdout
