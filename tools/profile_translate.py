@@ -14,12 +14,20 @@ Usage: python tools/profile_translate.py [batch] [hw] [base_filters]
 (hw/base_filters exist to smoke-test the harness on CPU at tiny shapes)
 """
 import functools
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+if os.environ.get("IFO_FORCE_CPU"):
+    # CPU smoke runs must not touch the axon relay (a concurrent queue step
+    # would serialize with us and corrupt ITS timings); the env var alone is
+    # ignored because sitecustomize pre-imports jax — set the config knob.
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,11 +54,22 @@ def timed(fn, *args, iters=ITERS):
     def loop(n, *a):
         def body(_, carry):
             out = fn(*carry)
-            # fold one scalar of the output back into EVERY input leaf so the
-            # loop body has a data dependency on all of them and no sub-graph
-            # (e.g. the ctx encoder when ctx is loop-invariant) can be hoisted
-            eps = jnp.real(jax.tree_util.tree_leaves(out)[0]).ravel()[0] * 1e-9
-            return jax.tree_util.tree_map(lambda x: x + eps.astype(x.dtype), carry)
+            # the feedback scalar must touch EVERY output leaf: a dead leaf
+            # lets XLA DCE the sub-graph producing it (translate returns
+            # (trans_z, image) — feeding back only leaf[0] erased the entire
+            # decoder from the "full graph" row)
+            eps = sum(
+                jnp.real(leaf).ravel()[0].astype(jnp.float32)
+                for leaf in jax.tree_util.tree_leaves(out)
+            ) * 1e-9
+            # serialize iterations with an O(1) one-element bump per input
+            # leaf (in-place in the aliased while-loop carry) — a full
+            # elementwise add is an extra HBM pass over the carry, ~0.3 ms/it
+            # for the decode row's batch-256 skip pyramid
+            def bump(x):
+                return x.at[(0,) * x.ndim].add(eps.astype(x.dtype))
+
+            return jax.tree_util.tree_map(bump, carry)
 
         return jax.lax.fori_loop(0, n, body, a)[0].ravel()[0]
 
