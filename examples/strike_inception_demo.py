@@ -64,15 +64,20 @@ expert = load_expert(EXPERT)
 
 # -- stage 1: 299x299 demo videos (batched raycast recording) ---------------
 video_dir = os.path.join(LOG, "videos")
-t0 = time.time()
-generate_demo_videos_vec(
-    "striker", expert, video_dir, N_DEMOS, horizon=cfg.env.horizon, seed=0,
-    env_overrides=dict(
-        scene_overrides(cfg.env), image_size=HW, render_size=cfg.env.render_size
-    ),
-    n_envs=20, frame_backend="tpu",
-)
-timings["demo_record_s"] = round(time.time() - t0, 1)
+import glob
+
+if len(glob.glob(os.path.join(video_dir, "*.mp4"))) < N_DEMOS:
+    t0 = time.time()
+    generate_demo_videos_vec(
+        "striker", expert, video_dir, N_DEMOS, horizon=cfg.env.horizon, seed=0,
+        env_overrides=dict(
+            scene_overrides(cfg.env), image_size=HW, render_size=cfg.env.render_size
+        ),
+        n_envs=20, frame_backend="tpu",
+    )
+    timings["demo_record_s"] = round(time.time() - t0, 1)
+else:
+    print("stage 1: demo videos already recorded, skipping")
 
 # -- stage 2: decode + Mixed_7c feature extraction --------------------------
 # uint8 frames [T, N, 299, 299, 3] (rescale=False feeds the backbone raw,
@@ -83,16 +88,22 @@ frames = build_video_dataset(
     seed=0, cache_path=os.path.join(LOG, "frames_u8.npy"),
 )
 feature_fn = make_inception_feature_fn(layer="Mixed_7c", input_size=HW)
-t0 = time.time()
+feat_cache = os.path.join(LOG, "feats_mixed7c.npy")
 T, N = frames.shape[:2]
-feats = []
-for t in range(T):
-    feats.append(np.asarray(feature_fn(frames[t]), np.float32))
-feat_vdata = np.stack(feats)  # [T, N, 8, 8, 2048]
-timings["featurize_s"] = round(time.time() - t0, 1)
-timings["backbone_fps"] = round(T * N / timings["featurize_s"], 1)
-print(f"Mixed_7c features {feat_vdata.shape} in {timings['featurize_s']}s "
-      f"({timings['backbone_fps']} frames/s through the 299x299 backbone)")
+if os.path.exists(feat_cache):
+    feat_vdata = np.load(feat_cache)
+    print(f"stage 2: cached Mixed_7c features {feat_vdata.shape}, skipping")
+else:
+    t0 = time.time()
+    feats = []
+    for t in range(T):
+        feats.append(np.asarray(feature_fn(frames[t]), np.float32))
+    feat_vdata = np.stack(feats)  # [T, N, 8, 8, 2048]
+    timings["featurize_s"] = round(time.time() - t0, 1)
+    timings["backbone_fps"] = round(T * N / timings["featurize_s"], 1)
+    np.save(feat_cache, feat_vdata)
+    print(f"Mixed_7c features {feat_vdata.shape} in {timings['featurize_s']}s "
+          f"({timings['backbone_fps']} frames/s through the 299x299 backbone)")
 
 # -- stage 3: ContextFeat training in feature space -------------------------
 t0 = time.time()
