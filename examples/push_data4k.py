@@ -52,6 +52,7 @@ out = run_pipeline(
     "pusher3dof", LOG,
     n_demos=4000, translation_iters=100_000, rl_iters=150,
     scale=1.0, seed=0, cfg=cfg, expert_npz=EXPERT, rl_context=rl_context,
+    resume=True,
 )
 
 rt = [h["ReturnTrue"] for h in out["history"]]

@@ -97,7 +97,7 @@ results["oracle"] = summarize(oracle_hist, "real oracle control")
 out = run_pipeline(
     "pusher3dofreal", LOG,
     n_demos=2000, translation_iters=100_000, rl_iters=RL_ITERS,
-    scale=0.01, seed=0, cfg=cfg, expert_npz=EXPERT,
+    scale=0.01, seed=0, cfg=cfg, expert_npz=EXPERT, resume=True,
 )
 results["visual"] = summarize(out["history"], "real visual (ours, nvp=2)")
 

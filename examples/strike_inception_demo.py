@@ -107,7 +107,7 @@ else:
 
 # -- stage 3: ContextFeat training in feature space -------------------------
 t0 = time.time()
-trainer = run_translation_training(cfg, video_glob="", vdata=feat_vdata)
+trainer = run_translation_training(cfg, video_glob="", vdata=feat_vdata, resume=True)
 timings["translation_s"] = round(time.time() - t0, 1)
 
 # -- stage 4: TRPO with oursinception reward --------------------------------

@@ -70,6 +70,7 @@ out = run_pipeline(
     "thrower", LOG,
     n_demos=2000, translation_iters=100_000, rl_iters=150,
     scale=0.1, seed=0, cfg=cfg, expert_npz=EXPERT, rl_context=rl_context,
+    resume=True,
 )
 
 rt = [h["ReturnTrue"] for h in out["history"]]

@@ -41,8 +41,16 @@ from imitation_from_observation_tpu.train import TranslationTrainer
 from imitation_from_observation_tpu.video.dataset import build_video_dataset
 
 
-def run_translation_training(cfg: ExperimentConfig, video_glob: str, vdata=None):
-    """Stage 2: train the context-translation model (== ModelTrainer.train)."""
+def run_translation_training(
+    cfg: ExperimentConfig, video_glob: str, vdata=None, resume: bool = False
+):
+    """Stage 2: train the context-translation model (== ModelTrainer.train).
+
+    ``resume=True``: if the final-iteration checkpoint
+    (``<log_dir>/translation/checkpoints/<n_iters>/``) already exists, load
+    its params instead of re-training — lets the long recipe scripts retry
+    past a completed 100k-step stage after a transient relay failure.
+    """
     log_dir = os.path.join(cfg.log_dir, "translation")
     if vdata is None:
         vdata = build_video_dataset(
@@ -56,6 +64,21 @@ def run_translation_training(cfg: ExperimentConfig, video_glob: str, vdata=None)
             cache_path=os.path.join(log_dir, "vdata.npy"),
         )
     trainer = TranslationTrainer(cfg.model, cfg.train, vdata, log_dir=log_dir)
+    if resume:
+        import glob as _glob
+
+        from imitation_from_observation_tpu.core.checkpoint import load_pytree
+        from imitation_from_observation_tpu.core.log import get_logger
+
+        ckdir = os.path.join(log_dir, cfg.train.checkpoint_dir, str(cfg.train.n_iters))
+        hits = sorted(_glob.glob(os.path.join(ckdir, "*.npz")))
+        if hits:
+            params = load_pytree(hits[0][: -len(".npz")], trainer.state.params)
+            trainer.state = trainer.state._replace(params=params)
+            get_logger().log(
+                f"translation: final checkpoint {hits[0]} exists, skipping training"
+            )
+            return trainer
     trainer.train()
     return trainer
 
@@ -314,10 +337,17 @@ def run_pipeline(
     cfg: ExperimentConfig | None = None,
     expert_npz: str | None = None,
     rl_context: dict | None = None,
+    resume: bool = False,
 ):
     """The full paper pipeline at configurable scale: train oracle expert ->
     record demo videos -> train translation model -> visual-reward TRPO.
     Pass ``cfg`` to override the task preset (model/env sizes etc.).
+
+    ``resume=True`` skips stages whose artifacts already exist (a trained
+    expert npz, a complete demo video set, the final translation
+    checkpoint) so a multi-stage recipe interrupted by a relay outage can
+    be re-run without repeating finished work. Artifacts are matched by
+    count/path only — delete the stage's directory after a config change.
 
     ``rl_context``: EnvConfig override fields pinning the RL stage to ONE
     fixed scene (viewpoint/goal/colors/distractors) the way the reference
@@ -353,26 +383,42 @@ def run_pipeline(
             demo_env_overrides["full_state"] = True
     else:
         expert_path = os.path.join(log_dir, "expert")
-        expert_rl = RLConfig(
-            batch_size=min(2000, 40 * cfg.env.horizon),
-            max_path_length=cfg.env.horizon,
-            n_iters=expert_iters,
-            n_envs=20,
-            # the expert learns from the DENSE task reward: moderate exploration
-            # (init_std=10 is the sparse visual-RL setting, run_trpo_push.py:144)
-            init_std=1.0,
-            seed=seed,
-            snapshot_mode="none",
-        )
-        expert = train_expert(
-            task,
-            expert_path,
-            rl=expert_rl,
-            env_overrides=dict(horizon=cfg.env.horizon, **scene),
-            log_dir=os.path.join(log_dir, "expert_logs"),
-        )
+        if resume and os.path.exists(expert_path + ".npz"):
+            from imitation_from_observation_tpu.exp.train_expert import load_expert
+
+            expert = load_expert(expert_path)
+        else:
+            expert_rl = RLConfig(
+                batch_size=min(2000, 40 * cfg.env.horizon),
+                max_path_length=cfg.env.horizon,
+                n_iters=expert_iters,
+                n_envs=20,
+                # the expert learns from the DENSE task reward: moderate
+                # exploration (init_std=10 is the sparse visual-RL setting,
+                # run_trpo_push.py:144)
+                init_std=1.0,
+                seed=seed,
+                snapshot_mode="none",
+            )
+            expert = train_expert(
+                task,
+                expert_path,
+                rl=expert_rl,
+                env_overrides=dict(horizon=cfg.env.horizon, **scene),
+                log_dir=os.path.join(log_dir, "expert_logs"),
+            )
     video_dir = os.path.join(log_dir, "videos")
-    if cfg.env.frame_backend in ("tpu", "native"):
+    if resume:
+        import glob as _glob
+
+        # one mp4 per (episode, viewpoint) — see generate_demo_videos_vec
+        expected = n_demos * max(1, cfg.env.n_viewpoints)
+        have = len(_glob.glob(os.path.join(video_dir, "*.mp4")))
+    else:
+        expected, have = 1, 0
+    if have >= expected:
+        pass  # demo set complete from a previous attempt
+    elif cfg.env.frame_backend in ("tpu", "native"):
         # batched demo recording through the SAME renderer the RL frames use
         # (reward scoring compares demo translations to agent frames — one
         # renderer for both keeps them in the same visual domain)
@@ -403,7 +449,7 @@ def run_pipeline(
             seed=seed,
             env_overrides=demo_env_overrides or None,
         )
-    trainer = run_translation_training(cfg, os.path.join(video_dir, "*.mp4"))
+    trainer = run_translation_training(cfg, os.path.join(video_dir, "*.mp4"), resume=resume)
     # held-out demos -> reward engine demo data (reference modeldata npy)
     demo_data = trainer.valid_data
     rl_cfg = cfg if not rl_context else cfg.replace(env=cfg.env.replace(**rl_context))

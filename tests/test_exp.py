@@ -173,6 +173,52 @@ def test_full_pipeline_tiny(tmp_path):
     assert os.path.exists(tmp_path / "rl" / "progress.csv")
 
 
+def test_pipeline_resume_skips_completed_stages(tmp_path):
+    """``run_pipeline(resume=True)`` must not repeat finished stages: the
+    trained expert, a complete demo set, and the final translation
+    checkpoint are reused (relay outages interrupt the multi-hour recipe
+    scripts; retries should only pay for the missing stages)."""
+    from imitation_from_observation_tpu.core.config import (
+        ExperimentConfig,
+        RewardConfig,
+        TrainConfig,
+        TranslationModelConfig,
+    )
+    from imitation_from_observation_tpu.exp.launchers import run_pipeline
+
+    hw, horizon = 16, 6
+    cfg = ExperimentConfig(
+        name="tiny_resume",
+        env=EnvConfig(name="pusher3dof", image_size=(hw, hw), render_size=(64, 64), horizon=horizon),
+        model=TranslationModelConfig(model="context_skip", image_size=(hw, hw), base_filters=8, feat_size=32),
+        # save_every == n_iters so the FINAL checkpoint exists for resume
+        train=TrainConfig(batch_size=8, eval_every=4, save_every=4, log_every=100),
+        rl=RLConfig(batch_size=2 * horizon, max_path_length=horizon, n_envs=2, snapshot_mode="none", policy_hidden=(8,)),
+        reward=RewardConfig(mode="ours", scale=0.1),
+    )
+    kw = dict(n_demos=6, expert_iters=1, translation_iters=4, rl_iters=1, seed=0, cfg=cfg)
+    run_pipeline("pusher3dof", str(tmp_path), **kw)
+
+    ckdir = tmp_path / "translation" / "checkpoints" / "4"
+    ckpts = [f for f in os.listdir(ckdir) if f.endswith(".npz")]
+    assert ckpts, "final-iteration checkpoint must exist for resume to engage"
+
+    def mtimes():
+        stamps = {"expert": os.path.getmtime(tmp_path / "expert.npz")}
+        for f in os.listdir(tmp_path / "videos"):
+            if f.endswith(".mp4"):
+                stamps[f] = os.path.getmtime(tmp_path / "videos" / f)
+        stamps["ckpt"] = os.path.getmtime(ckdir / ckpts[0])
+        return stamps
+
+    before = mtimes()
+    out = run_pipeline("pusher3dof", str(tmp_path), resume=True, **kw)
+    # the RL stage still ran; everything upstream was reused untouched
+    assert len(out["history"]) == 1
+    assert np.isfinite(out["history"][0]["AverageReturn"])
+    assert mtimes() == before
+
+
 def test_sample_rl_context():
     """The fixed-context sampler mirrors the reference launchers' rand_*()
     (run_trpo_reach.py:67-87 et al.): deterministic per seed, fields map to
