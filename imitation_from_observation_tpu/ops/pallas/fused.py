@@ -167,7 +167,35 @@ def _pairwise_kernel(a_ref, b_ref, o_ref):
     o_ref[:] = (an - 2.0 * cross + bn).astype(o_ref.dtype)
 
 
-def pairwise_sqdist(a: jax.Array, b: jax.Array, tile: int = 128) -> jax.Array:
+def _pairwise_kernel_ftiled(a_ref, b_ref, o_ref, acc_ref, *, nk: int):
+    # F is the innermost grid axis. |a|^2, -2ab, and |b|^2 are all plain sums
+    # over F, so each F-chunk's full contribution folds into ONE [tile, tile]
+    # f32 accumulator — no separate norm scratch, and the VMEM footprint is
+    # flat in F. (The untiled kernel loaded whole [tile, F] strips: at
+    # ContextFeat shapes F = 8*8*2048 = 131072 that is 64 MB per operand,
+    # which OOMed scoped VMEM — same failure mode dense_lrelu's K-tiling
+    # fixed at K=8192.)
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    a = a_ref[:].astype(jnp.float32)
+    bt = b_ref[:].astype(jnp.float32)
+    cross = jnp.dot(a, bt.T, preferred_element_type=jnp.float32)
+    an = jnp.sum(a * a, axis=1, keepdims=True)
+    bn = jnp.sum(bt * bt, axis=1, keepdims=True).T
+    acc_ref[:] += an - 2.0 * cross + bn
+
+    @pl.when(kk == nk - 1)
+    def _flush():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def pairwise_sqdist(
+    a: jax.Array, b: jax.Array, tile: int = 128, tile_f: int = 2048
+) -> jax.Array:
     """All-pairs squared L2: a [M, F], b [N, F] -> [M, N]."""
     if not pallas_enabled():
         an = jnp.sum(a * a, axis=1)[:, None]
@@ -175,17 +203,42 @@ def pairwise_sqdist(a: jax.Array, b: jax.Array, tile: int = 128) -> jax.Array:
         return an - 2.0 * a @ b.T + bn
     m, f = a.shape
     n = b.shape[0]
-    mp, np_, fp = _round_up(m, tile), _round_up(n, tile), _round_up(f, 128)
+    mp, np_ = _round_up(m, tile), _round_up(n, tile)
+    # single-pass when whole-F strips fit scoped VMEM (x2 double buffering,
+    # ~12 MB of the 16 MB budget); F-tile with an accumulator otherwise
+    fp1 = _round_up(f, 128)
+    if (tile + tile) * fp1 * 4 * 2 <= 12 * 1024 * 1024:
+        ap = jnp.pad(a, ((0, mp - m), (0, fp1 - f)))
+        bp = jnp.pad(b, ((0, np_ - n), (0, fp1 - f)))
+        out = pl.pallas_call(
+            _pairwise_kernel,
+            grid=(mp // tile, np_ // tile),
+            in_specs=[
+                pl.BlockSpec((tile, fp1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, fp1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        )(ap, bp)
+        return out[:m, :n]
+    fp = _round_up(f, tile_f)
+    nk = fp // tile_f
     ap = jnp.pad(a, ((0, mp - m), (0, fp - f)))
     bp = jnp.pad(b, ((0, np_ - n), (0, fp - f)))
     out = pl.pallas_call(
-        _pairwise_kernel,
-        grid=(mp // tile, np_ // tile),
+        functools.partial(_pairwise_kernel_ftiled, nk=nk),
+        grid=(mp // tile, np_ // tile, nk),
         in_specs=[
-            pl.BlockSpec((tile, fp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, fp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, tile_f), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, tile_f), lambda i, j, kk: (j, kk), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile, tile), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile, tile), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * fp + 4 * (mp + np_) * fp,
+            bytes_accessed=(mp * fp + np_ * fp) * 4 * max(1, np_ // tile) + mp * np_ * 4,
+            transcendentals=0,
+        ),
     )(ap, bp)
     return out[:m, :n]

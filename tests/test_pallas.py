@@ -56,6 +56,25 @@ def test_pairwise_sqdist(force_pallas, rng, m, n, f):
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("m,n,f", [(128, 128, 131072), (100, 96, 131000)])
+def test_pairwise_sqdist_ftiled(force_pallas, rng, m, n, f):
+    """The ContextFeat production shape F = 8*8*2048 = 131072 — whole-F strips
+    are 64 MB/operand and OOMed VMEM (round-3 strike-inception crash); this
+    exercises the F-tiled accumulator path, incl. non-multiple-of-tile_f F."""
+    a = rng.standard_normal((m, f), dtype=np.float32)
+    b = rng.standard_normal((n, f), dtype=np.float32)
+    got = np.asarray(fused.pairwise_sqdist(jnp.asarray(a), jnp.asarray(b)))
+    # reference via the expansion in float64 (materializing [m, n, f] would
+    # need ~8.6 GB at this shape)
+    a64, b64 = a.astype(np.float64), b.astype(np.float64)
+    ref = (
+        (a64 * a64).sum(1)[:, None]
+        - 2.0 * a64 @ b64.T
+        + (b64 * b64).sum(1)[None, :]
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3 * f**0.5)
+
+
 def test_fallback_path_matches(rng):
     """With pallas disabled (CPU default) results must equal the reference
     math — the model runs this path in CI."""
