@@ -90,10 +90,20 @@ frames = build_video_dataset(
 feature_fn = make_inception_feature_fn(layer="Mixed_7c", input_size=HW)
 feat_cache = os.path.join(LOG, "feats_mixed7c.npy")
 T, N = frames.shape[:2]
+feat_vdata = None
 if os.path.exists(feat_cache):
-    feat_vdata = np.load(feat_cache)
-    print(f"stage 2: cached Mixed_7c features {feat_vdata.shape}, skipping")
-else:
+    cached = np.load(feat_cache)
+    # validate against the CURRENT demo set — a cached array recorded under a
+    # different N_DEMOS/HW/n_skip would silently feed a mismatched dataset
+    if cached.shape[:2] == frames.shape[:2]:
+        feat_vdata = cached
+        print(f"stage 2: cached Mixed_7c features {feat_vdata.shape}, skipping")
+    else:
+        print(
+            f"stage 2: cached features {cached.shape[:2]} do not match the "
+            f"demo set {frames.shape[:2]} — recomputing"
+        )
+if feat_vdata is None:
     t0 = time.time()
     feats = []
     for t in range(T):
@@ -104,6 +114,20 @@ else:
     np.save(feat_cache, feat_vdata)
     print(f"Mixed_7c features {feat_vdata.shape} in {timings['featurize_s']}s "
           f"({timings['backbone_fps']} frames/s through the 299x299 backbone)")
+
+# -- feature-scale anchor ----------------------------------------------------
+# With the random-init backbone, Mixed_7c magnitudes explode multiplicatively
+# through ~17 conv layers (observed losses ~1e22 unnormalized). Normalize by
+# the demo set's global RMS — a pure rescaling (with pretrained weights the
+# scale is ~O(1) and this is a near-no-op), applied identically to the demo
+# features AND the agent's frames at scoring time so both sides of the
+# reward comparison live in the same scale.
+feat_rms = float(np.sqrt(np.mean(np.square(feat_vdata, dtype=np.float64))))
+assert np.isfinite(feat_rms) and feat_rms > 0, f"degenerate Mixed_7c scale {feat_rms}"
+print(f"Mixed_7c scale: rms={feat_rms:.4g} max|f|={np.abs(feat_vdata).max():.4g}")
+feat_vdata = (feat_vdata / feat_rms).astype(np.float32)
+_raw_feature_fn = feature_fn
+feature_fn = lambda x: _raw_feature_fn(x) / feat_rms
 
 # -- stage 3: ContextFeat training in feature space -------------------------
 t0 = time.time()
@@ -125,6 +149,7 @@ best = max(h["ReturnTrue"] for h in history)
 summary = dict(
     timings=timings,
     feat_shape=list(feat_vdata.shape),
+    feat_rms=feat_rms,
     first=history[0]["ReturnTrue"],
     last=history[-1]["ReturnTrue"],
     best=best,
@@ -132,3 +157,23 @@ summary = dict(
 with open(os.path.join(LOG, "summary.json"), "w") as f:
     json.dump(summary, f, indent=1)
 print(json.dumps(summary, indent=1))
+
+with open(os.path.join(LOG, "NOTES.md"), "w") as f:
+    f.write(f"""# strike-inception (BASELINE config 4) — 299x299 Mixed_7c pipeline
+
+Reference: run_train_strike_inception.py:39-43 + run_trpo_inception.py:70-173.
+Every shape/transfer/kernel is the real config's: 299x299 demos -> Inception-v3
+Mixed_7c [8, 8, 2048] -> ContextFeat translation in feature space -> TRPO with
+`oursinception` reward (agent frames routed through the backbone at scoring).
+
+**Caveat — random-init backbone.** No pretrained slim checkpoint exists in this
+image (converter + restore are proven in tests/test_inception.py; drop an
+`inception_v3.npz` into data/ to make features pretrained). This run therefore
+demonstrates the PIPELINE at its real shape, not ImageNet-feature translation
+quality. Features are anchored by the demo set's global RMS
+({feat_rms:.4g}, applied identically to demo features and agent frames) —
+unnormalized, the random backbone's magnitudes blow losses to ~1e22.
+
+Result: first {summary['first']:.3f} -> best {best:.3f} over {len(history)} TRPO iterations
+(batch {cfg.rl.batch_size}); timings in summary.json.
+""")

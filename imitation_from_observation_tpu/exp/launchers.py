@@ -70,13 +70,23 @@ def run_translation_training(
         from imitation_from_observation_tpu.core.checkpoint import load_pytree
         from imitation_from_observation_tpu.core.log import get_logger
 
-        ckdir = os.path.join(log_dir, cfg.train.checkpoint_dir, str(cfg.train.n_iters))
-        hits = sorted(_glob.glob(os.path.join(ckdir, "*.npz")))
-        if hits:
-            params = load_pytree(hits[0][: -len(".npz")], trainer.state.params)
+        # the trainer rounds its loop total UP to a multiple of steps_per_call
+        # (trainer.py's fused-scan path), so the final checkpoint dir can be
+        # any numeric dir >= n_iters — accept the smallest such complete one
+        ckroot = os.path.join(log_dir, cfg.train.checkpoint_dir)
+        cand = []
+        for d in _glob.glob(os.path.join(ckroot, "*")):
+            name = os.path.basename(d)
+            if name.isdigit() and int(name) >= cfg.train.n_iters:
+                hits = sorted(_glob.glob(os.path.join(d, "*.npz")))
+                if hits:
+                    cand.append((int(name), hits[0]))
+        if cand:
+            hit = min(cand)[1]
+            params = load_pytree(hit[: -len(".npz")], trainer.state.params)
             trainer.state = trainer.state._replace(params=params)
             get_logger().log(
-                f"translation: final checkpoint {hits[0]} exists, skipping training"
+                f"translation: final checkpoint {hit} exists, skipping training"
             )
             return trainer
     trainer.train()
@@ -411,8 +421,11 @@ def run_pipeline(
     if resume:
         import glob as _glob
 
-        # one mp4 per (episode, viewpoint) — see generate_demo_videos_vec
-        expected = n_demos * max(1, cfg.env.n_viewpoints)
+        # generate_demo_videos_vec caps the TOTAL file count at n_demos
+        # across all viewpoints (one mp4 per (episode, viewpoint), but the
+        # writer breaks once n_demos files exist) — a complete demo set is
+        # n_demos mp4s regardless of n_viewpoints
+        expected = n_demos
         have = len(_glob.glob(os.path.join(video_dir, "*.mp4")))
     else:
         expected, have = 1, 0

@@ -3,13 +3,17 @@
 #
 # Steps live one-per-line in tools/queue_steps.txt ("<logfile> <cmd...>") so
 # new legs can be APPENDED while the runner is live — bash reads scripts
-# lazily, so editing this file mid-run would corrupt the running shell, but
+# lazily, so editing this file mid-run would corrupt the running shell
+# (replace it via write-new + mv so the live shell keeps its old inode), but
 # editing the steps file is always safe. Progress is a counter in
 # /tmp/queue_done_count; delete it to replay from the top (each study script
 # is itself resumable past completed legs, so replays are cheap).
 #
 # The axon relay can die for hours (see CLAUDE.md); the gate waits for a
-# healthy tiny-op probe before each step and retries each step once.
+# healthy tiny-op probe before each step. A failed step is retried once ONLY
+# when its log tail looks transient (relay outage / timeout / signal death) —
+# a deterministic python crash would just re-burn the step to reproduce
+# itself, so those fail fast and the chain moves on.
 #
 # Coordination with bench.py: two processes sharing the relay serialize and
 # corrupt each other's timings (CLAUDE.md), and the driver runs bench.py at
@@ -51,18 +55,33 @@ bench_hold() {
   done
 }
 
-run() {  # run <logfile> <cmd...> — gate on relay health + bench, one retry
+transient() {  # transient <logfile> <bytes-before> <rc> — is this failure retryable?
+  # rc >= 124: timeout(1) kill or signal death (128+n) — environment, retry.
+  [ "$3" -ge 124 ] && return 0
+  # relay-outage signatures in the region THIS attempt appended
+  tail -c +"$(($2 + 1))" "$1" 2>/dev/null | grep -qE \
+    "UNAVAILABLE|DEADLINE_EXCEEDED|Socket closed|failed to connect|Connection reset|connection error|timed out"
+}
+
+run() {  # run <logfile> <cmd...> — gate on relay health + bench
   bench_hold
   until probe; do sleep 120; done
   echo "$(date) start: ${*:2}" >> /tmp/queue_chain.log
+  local before
+  before=$(stat -c%s "$1" 2>/dev/null || echo 0)
   if step "$@"; then
     echo "$(date) done: ${*:2}" >> /tmp/queue_chain.log
   else
-    sleep 60
-    bench_hold
-    until probe; do sleep 120; done
-    step "$@"
-    echo "$(date) done(retry rc=$?): ${*:2}" >> /tmp/queue_chain.log
+    local rc=$?
+    if transient "$1" "$before" "$rc"; then
+      sleep 60
+      bench_hold
+      until probe; do sleep 120; done
+      step "$@"
+      echo "$(date) done(retry rc=$?): ${*:2}" >> /tmp/queue_chain.log
+    else
+      echo "$(date) FAIL-FAST (rc=$rc, deterministic crash — no retry): ${*:2}" >> /tmp/queue_chain.log
+    fi
   fi
 }
 
