@@ -142,12 +142,19 @@ def measure(
 
     model = ContextSkip(image_size=(48, 48))
     rng = np.random.default_rng(0)
-    # bf16 activations on TPU (the MXU-native dtype, params stay f32);
-    # f32 on CPU where bf16 is emulated (and the reference ran f32).
+    # bf16 activations AND params on TPU — the production scoring config
+    # (reward/engine.py inference_dtype='auto'): bf16 is the MXU-native
+    # dtype, and bf16 params halve weight HBM traffic; f32 on CPU where
+    # bf16 is emulated (and the reference ran f32). bf16-vs-f32 output
+    # parity is gated by ``frame_psnr_bf16_params_db`` below and
+    # tests/test_reward.py::test_bf16_inference_matches_f32.
     dtype = jnp.dtype(dtype_name)
     src = jnp.asarray(rng.standard_normal((batch, 48, 48, 3)), dtype)
     ctx = jnp.asarray(rng.standard_normal((batch, 48, 48, 3)), dtype)
     params = model.init(jax.random.key(0), src, ctx, src)
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p, params
+    )
 
     # The TPU here sits behind an async relay where per-call dispatch/fetch
     # latency dwarfs compute and block_until_ready is unreliable; so iterate
@@ -365,6 +372,43 @@ def measure_raycast_fps(batch: int = 250, hw: int = 48, iters: int = 20) -> floa
     return batch * iters / max(dt - dt1, 1e-9)
 
 
+def measure_bf16_psnr(hw: int = 48, batch: int = 4) -> float | None:
+    """PSNR (dB) of the bf16-params translate (the production scoring dtype)
+    vs the f32-params translate with identical weights/inputs — the parity
+    gate for running the frozen-params inference path in bfloat16."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from imitation_from_observation_tpu.models import ContextSkip
+
+        model = ContextSkip(image_size=(hw, hw))
+        rng = np.random.default_rng(1)
+        src = jnp.asarray(rng.uniform(-1, 1, (batch, hw, hw, 3)), jnp.float32)
+        ctx = jnp.asarray(rng.uniform(-1, 1, (batch, hw, hw, 3)), jnp.float32)
+        params = model.init(jax.random.key(0), src, ctx, src)
+        p16 = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
+        )
+
+        @jax.jit
+        def both(src, ctx):
+            _, o32 = model.apply(params, src, ctx, method="translate")
+            _, o16 = model.apply(
+                p16, src.astype(jnp.bfloat16), ctx.astype(jnp.bfloat16), method="translate"
+            )
+            return jnp.mean((o32 - o16.astype(jnp.float32)) ** 2)
+
+        mse = float(both(src, ctx))
+        if mse <= 0:
+            return 99.0
+        return min(99.0, 10.0 * np.log10(4.0 / mse))  # peak-to-peak 2 ([-1,1])
+    except Exception as e:
+        print(f"bf16 psnr unavailable: {type(e).__name__}: {e}", file=sys.stderr)
+        return None
+
+
 def measure_psnr_parity(hw: int = 48, batch: int = 4) -> float | None:
     """PSNR (dB) of the flax ContextSkip forward vs the torch TF1-semantics
     oracle with identical weights. None if the oracle is unavailable."""
@@ -470,6 +514,7 @@ def _main_gated(max_wait: float) -> None:
         print(f"raycast bench unavailable: {type(e).__name__}: {e}", file=sys.stderr)
         raycast_fps = None
     psnr = measure_psnr_parity()
+    bf16_psnr = measure_bf16_psnr()
     result = {
         "metric": "translated_frames_per_sec_per_chip",
         "value": round(fps, 1),
@@ -480,6 +525,7 @@ def _main_gated(max_wait: float) -> None:
         "train_steps_per_sec": train_sps,
         "raycast_frames_per_sec": raycast_fps,
         "frame_psnr_parity_db": psnr,
+        "frame_psnr_bf16_params_db": None if bf16_psnr is None else round(bf16_psnr, 1),
     }
     if contended:
         # another relay client ran concurrently; timings include serialization

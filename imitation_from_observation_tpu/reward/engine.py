@@ -26,6 +26,7 @@ normalize fuses into the encoder).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable
 
 import jax
@@ -48,13 +49,27 @@ class VisualRewardEngine:
         feature_fn: Callable | None = None,
         chunk_videos: int = 16,
         mesh=None,
+        inference_dtype: str = "auto",
     ):
         """``demo_data``: held-out demos [T, N, H, W, C] in [-1, 1] (the
         trainer's vdata format / reference ``modeldata`` npy). ``feature_fn``
-        maps uint8 frames -> backbone feature maps for the inception modes."""
+        maps uint8 frames -> backbone feature maps for the inception modes.
+
+        ``inference_dtype``: MXU compute dtype for the frozen-params scoring
+        path. "auto" = bfloat16 on TPU (native MXU dtype: bf16 params halve
+        weight HBM traffic and avoid the multi-pass f32 matmul decomposition;
+        kill switch IFO_TPU_BF16_PARAMS=0), float32 elsewhere. All cost
+        reductions (latent/pixel L2, means) stay float32 regardless."""
         self.cfg = cfg
         self.nvp = n_viewpoints
         self.chunk_videos = chunk_videos
+        if inference_dtype == "auto":
+            use_bf16 = os.environ.get("IFO_TPU_BF16_PARAMS", "1") != "0" and (
+                jax.default_backend() not in ("cpu", "gpu")
+            )
+            self.inference_dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+        else:
+            self.inference_dtype = jnp.dtype(inference_dtype)
         # optional multi-chip serving: rollouts shard over the mesh's data
         # axis for scoring (params replicated); None = single device
         self.mesh = mesh
@@ -106,21 +121,37 @@ class VisualRewardEngine:
         # argument buffers, and the ~150 MB param tree costs ~2 s PER CALL —
         # baked in, it ships once at compile and per-iteration scoring is
         # pure compute (measured 2.0 s -> 0.04 s for the 6,250-frame encode)
-        params = self.params
+        comp = self.inference_dtype
+        if comp != jnp.float32:
+            # frozen-params inference: cast every f32 leaf (weights AND batch
+            # stats) to the MXU-native dtype once at bake time; activations
+            # entering the net are cast to match so the convs run native bf16
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(comp) if getattr(p, "dtype", None) == jnp.float32 else p,
+                self.params,
+            )
+        else:
+            params = self.params
 
         if hasattr(model, "translate_one_ctx"):
             # warmup fast path: one shared agent context per viewpoint —
             # encode it ONCE per chunk instead of once per demo frame
             @jax.jit
             def translate_chunk_ctx1(src, ctx1):
-                return model.apply(params, src, ctx1, method="translate_one_ctx")
+                z, out = model.apply(
+                    params, src.astype(comp), ctx1.astype(comp), method="translate_one_ctx"
+                )
+                return z.astype(jnp.float32), out.astype(jnp.float32)
 
         else:
 
             @jax.jit
             def translate_chunk_ctx1(src, ctx1):
                 ctx_b = jnp.broadcast_to(ctx1, (src.shape[0], *ctx1.shape[1:]))
-                return model.apply(params, src, ctx_b, method="translate")
+                z, out = model.apply(
+                    params, src.astype(comp), ctx_b.astype(comp), method="translate"
+                )
+                return z.astype(jnp.float32), out.astype(jnp.float32)
 
         @jax.jit
         def score_paths(x, means, mean_imgs, scale):
@@ -131,7 +162,9 @@ class VisualRewardEngine:
                 x = x.astype(jnp.float32) / 127.5 - 1.0
             P, T, V = x.shape[:3]
             flat = x.reshape(P * T * V, *x.shape[3:])
-            feats = model.apply(params, flat, method="encode")  # params: baked constant
+            # encode runs in the MXU compute dtype; costs reduce in f32
+            feats = model.apply(params, flat.astype(comp), method="encode")
+            feats = feats.astype(jnp.float32)
             feats = feats.reshape(P, T, V, -1).transpose(0, 2, 1, 3)  # [P,V,T,F]
             imgs = jnp.moveaxis(x, 2, 1)  # [P,V,T,...]
             feat_cost = jnp.sum((means[None] - feats) ** 2, axis=-1)  # [P,V,T]
@@ -159,7 +192,8 @@ class VisualRewardEngine:
             ctx = jnp.broadcast_to(context, (P, T, *context.shape)).reshape(
                 P * T * V, *context.shape[1:]
             )
-            _, out = model.apply(params, flat, ctx, method="translate")
+            _, out = model.apply(params, flat.astype(comp), ctx.astype(comp), method="translate")
+            out = out.astype(jnp.float32)
             pix_axes = tuple(range(1, out.ndim))
             err = jnp.sum((out - flat) ** 2, axis=pix_axes).reshape(P, T, V)
             return jnp.sum(err, axis=-1)

@@ -97,6 +97,39 @@ def test_ours_mode_matches_numpy_recomputation():
     np.testing.assert_allclose(p["rewards"], expected, rtol=2e-4, atol=1e-3)
 
 
+def test_bf16_inference_matches_f32():
+    """The TPU scoring path runs the frozen-params nets in bfloat16 (engine
+    inference_dtype='auto'); rewards must stay close to the f32 path — this
+    is the golden-value gate for the bf16 harvest (costs reduce in f32
+    either way)."""
+    rng = np.random.default_rng(1)
+    demo = rng.uniform(-1, 1, (T, 6, HW, HW, 3)).astype(np.float32)
+    model = build_model(MODEL_CFG)
+    x = jnp.zeros((1, HW, HW, 3), jnp.float32)
+    params = model.init(jax.random.key(0), x, x, x)
+    rewards = {}
+    for dt in ("float32", "bfloat16"):
+        eng = VisualRewardEngine(
+            RewardConfig(mode="ours", scale=0.7),
+            MODEL_CFG,
+            params=params,
+            demo_data=demo,
+            inference_dtype=dt,
+        )
+        paths = _make_paths(n_paths=3, seed=2)
+        eng.process(paths)
+        rewards[dt] = np.stack([p["rewards"] for p in paths])
+    f32, bf16 = rewards["float32"], rewards["bfloat16"]
+    scale = np.abs(f32).max()
+    assert scale > 0
+    # bf16 has ~3 significant digits; costs are sums of squares so relative
+    # error stays ~1e-2 — far below reward-signal scale
+    np.testing.assert_allclose(bf16, f32, atol=0.05 * scale, rtol=0.05)
+    # reward ORDERING across paths (what TRPO consumes) must be preserved
+    tot_f32, tot_bf16 = f32.sum(axis=1), bf16.sum(axis=1)
+    assert list(np.argsort(tot_f32)) == list(np.argsort(tot_bf16))
+
+
 def test_warmup_cached_across_iterations():
     eng, *_ = _engine_and_params()
     eng.process(_make_paths(seed=3))

@@ -28,7 +28,11 @@ import numpy as np
 
 HW = int(sys.argv[1]) if len(sys.argv) > 1 else 48
 BASE_FILTERS = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-ITERS = 20
+ITERS = 60  # round 3 ran 20: at batch 256 that times a ~17 ms interval
+# against ~30 ms relay latency — noise produced a phantom 1.7x cliff at
+# batch 256 (302,681 f/s measured once, ~180k at 128/512/1024). Each combo
+# now repeats REPEATS times and reports the median + spread.
+REPEATS = 3
 GF_PER_FRAME = 0.77 if (HW, BASE_FILTERS) == (48, 64) else None
 
 
@@ -84,9 +88,14 @@ def main():
         ("bf16/bf16 batch 1024", 1024, jnp.bfloat16, jnp.bfloat16),
     ]
     for name, batch, act, par in combos:
-        fps = measure(batch, act, par)
+        runs = sorted(measure(batch, act, par) for _ in range(REPEATS))
+        fps = runs[REPEATS // 2]
+        spread = (runs[-1] - runs[0]) / fps * 100
         extra = f"  {fps * GF_PER_FRAME / 1e3:6.1f} eff TFLOP/s" if GF_PER_FRAME else ""
-        print(f"{name:32s} batch={batch:5d}  {fps:>12,.0f} frames/s{extra}")
+        print(
+            f"{name:32s} batch={batch:5d}  {fps:>12,.0f} frames/s{extra}"
+            f"  (median of {REPEATS}, spread {spread:.0f}%)"
+        )
 
 
 if __name__ == "__main__":
