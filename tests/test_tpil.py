@@ -105,6 +105,12 @@ def test_gail_variant_smoke(tmp_path):
     )
     row = trainer.take_iteration(n_trajs_cost=2, n_trajs_policy=2)
     assert np.isfinite(row["GanLoss"])
+    # the no-expert-fail reward path: rewards are relabeled with
+    # P(expert | pair) from a 2-group discriminator — a per-path sum of
+    # per-frame probabilities, so GanReward must land in [0, n_frames]
+    assert np.isfinite(row["GanReward"])
+    assert 0.0 <= row["GanReward"] <= horizon
+    assert not trainer.use_expert_fail
     novice_env.close(); expert_env.close()
 
 
