@@ -28,6 +28,7 @@ RES = os.path.join(os.path.dirname(__file__), "results")
 C_OURS = "#2a78d6"
 C_ORACLE = "#eb6834"
 C_TPIL = "#1baf7a"
+C_GAIL = "#8a63d2"
 C_EXPERT = "#52514e"
 SURFACE = "#fcfcfb"
 TEXT = "#0b0b0b"
@@ -80,6 +81,10 @@ def main() -> None:
         if task == "reach" and os.path.isfile(tpil_csv):
             tpil = read_col(tpil_csv, "ReturnTrue")
             ax.plot(tpil, color=C_TPIL, lw=2, label="TPIL baseline", zorder=2)
+        gail_csv = os.path.join(RES, "gail_reference_scale", "progress.csv")
+        if task == "reach" and os.path.isfile(gail_csv):
+            gail = read_col(gail_csv, "ReturnTrue")
+            ax.plot(gail, color=C_GAIL, lw=2, label="GAIL baseline", zorder=2)
         # mean±std across fresh context draws (the reference's nvar
         # aggregation, plots.ipynb) wherever a variant study exists
         if task in VARIANT_RUNS:
@@ -201,13 +206,34 @@ def main() -> None:
             "ordering (ours > TPIL) reproduces in-rebuild.",
             "",
         ]
+        gail_sum = os.path.join(RES, "gail_reference_scale", "summary.json")
+        if os.path.isfile(gail_sum):
+            with open(gail_sum) as f:
+                gl = json.load(f)
+            lines += [
+                "GAIL (three-flag TpilTrainer variant: no expert-fail group, no",
+                f"domain-confusion loss) at the same budget: best {gl['best']:.3f}",
+                f"@ itr {gl['best_iter']} (`gail_reference_scale/`).",
+                "",
+            ]
     var_rows = []
     for task, (vdir, _) in VARIANT_RUNS.items():
         vsum = os.path.join(RES, vdir, "summary.json")
-        if task == "strike" or not os.path.isfile(vsum):
-            continue  # strike's goal study aggregates differently (below)
+        if not os.path.isfile(vsum):
+            continue
         with open(vsum) as f:
             s = json.load(f)
+        if task == "strike":
+            # the goal study's draws span goal distance 0.10-0.95 on the same
+            # trained model/demos — aggregate its per-draw rows the same way
+            draws = s["rows"]
+            bests = np.array([d["best"] for d in draws])
+            succ = np.array([d["max_success"] for d in draws])
+            var_rows.append(
+                f"| strike (goal study) | {len(draws)} | {bests.mean():.3f} ± "
+                f"{bests.std():.3f} | {succ.mean():.2f} ± {succ.std():.2f} |"
+            )
+            continue
         agg = s["aggregate"]
         n_draws = len([k for k in s if k != "aggregate"])
         var_rows.append(
