@@ -20,6 +20,7 @@ import numpy as np
 
 from imitation_from_observation_tpu.core.config import preset
 from imitation_from_observation_tpu.exp.launchers import (
+    ensure_vdata,
     run_visual_trpo,
     sample_rl_context,
 )
@@ -33,7 +34,10 @@ SEEDS = list(range(10, 20))
 
 ckpt_dir = os.path.join(BASE, "translation", "checkpoints", "100000")
 ckpt = [f[:-4] for f in os.listdir(ckpt_dir) if f.endswith(".npz")][0]
-vdata = np.load(os.path.join(BASE, "translation", "vdata.npy"), mmap_mode="r")
+# vdata.npy is a gitignored multi-GB cache — rebuild from the committed demo
+# mp4s with the recipe's dataset params (2,000 videos) if it is gone
+_ds = preset("push")
+vdata = ensure_vdata(BASE, _ds.replace(train=_ds.train.replace(n_videos=2000, n_train=N_TRAIN)))
 demo_data = np.asarray(vdata[:, N_TRAIN:], np.float32)
 
 base_cfg = preset("push")

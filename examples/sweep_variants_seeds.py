@@ -21,6 +21,7 @@ import numpy as np
 
 from imitation_from_observation_tpu.core.config import preset
 from imitation_from_observation_tpu.exp.launchers import (
+    run_translation_training,
     run_visual_trpo,
     sample_rl_context,
 )
@@ -32,10 +33,22 @@ N_TRAIN = 800
 RL_ITERS = 100
 SEEDS = list(range(10, 16))
 
-ckpt_dir = os.path.join(BASE, "translation", "checkpoints", max(os.listdir(os.path.join(BASE, "translation", "checkpoints")), key=int))
+# The sweep recipe's model checkpoint and vdata cache are not committed
+# artifacts (the 1,000 demo mp4s are): run_translation_training with
+# resume=True rebuilds the dataset from videos/ and retrains the 60k-step
+# model only when the checkpoint is absent, else loads it.
+_ds = preset("sweep")
+_ds = _ds.replace(
+    log_dir=BASE,
+    train=_ds.train.replace(n_iters=60_000, n_videos=1000, n_train=N_TRAIN),
+)
+trainer = run_translation_training(
+    _ds, os.path.join(BASE, "videos", "*.mp4"), resume=True
+)
+demo_data = trainer.valid_data
+ck_root = os.path.join(BASE, "translation", "checkpoints")
+ckpt_dir = os.path.join(ck_root, max(os.listdir(ck_root), key=int))
 ckpt = [f[:-4] for f in os.listdir(ckpt_dir) if f.endswith(".npz")][0]
-vdata = np.load(os.path.join(BASE, "translation", "vdata.npy"), mmap_mode="r")
-demo_data = np.asarray(vdata[:, N_TRAIN:], np.float32)
 
 base_cfg = preset("sweep")
 summary = {}

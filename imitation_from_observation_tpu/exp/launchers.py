@@ -41,6 +41,29 @@ from imitation_from_observation_tpu.train import TranslationTrainer
 from imitation_from_observation_tpu.video.dataset import build_video_dataset
 
 
+def ensure_vdata(log_dir: str, cfg: ExperimentConfig):
+    """vdata for a completed recipe dir: load ``translation/vdata.npy`` if
+    present, else rebuild it from the recorded demo mp4s with the recipe's
+    own dataset params and re-cache. The multi-GB vdata cache is gitignored;
+    ``videos/`` is the durable artifact it deterministically derives from
+    (same decode order/seed -> same array)."""
+    path = os.path.join(log_dir, "translation", "vdata.npy")
+    if os.path.exists(path):
+        import numpy as np
+
+        return np.load(path, mmap_mode="r")
+    return build_video_dataset(
+        os.path.join(log_dir, "videos", "*.mp4"),
+        image_size=cfg.model.image_size,
+        n_videos=cfg.train.n_videos,
+        video_len=cfg.env.horizon + 1,
+        n_skip=cfg.train.n_skip,
+        rescale=cfg.train.rescale,
+        seed=cfg.train.seed,
+        cache_path=path,
+    )
+
+
 def run_translation_training(
     cfg: ExperimentConfig, video_glob: str, vdata=None, resume: bool = False
 ):

@@ -1,5 +1,6 @@
 """Video ingestion tests: transform parity, mp4 roundtrip, dataset builder."""
 
+import os
 import numpy as np
 import pytest
 from PIL import Image
@@ -150,3 +151,23 @@ def test_odd_dimensions_roundtrip(tmp_path, rng):
         pytest.skip(f"native decoder unavailable: {e}")
     assert native.shape == ref.shape
     np.testing.assert_array_equal(native, ref)
+
+
+def test_ensure_vdata_rebuilds_from_videos(tmp_path, rng):
+    """The multi-GB vdata cache is gitignored; ensure_vdata must rebuild it
+    from a recipe dir's committed demo mp4s (and then load the cache)."""
+    from imitation_from_observation_tpu.core.config import preset
+    from imitation_from_observation_tpu.exp.launchers import ensure_vdata
+
+    (tmp_path / "videos").mkdir()
+    _make_demo_videos(tmp_path / "videos", 4, rng)
+    cfg = preset("push")
+    cfg = cfg.replace(
+        env=cfg.env.replace(horizon=50),
+        train=cfg.train.replace(n_videos=4, n_train=3),
+    )
+    v1 = ensure_vdata(str(tmp_path), cfg)
+    assert v1.shape == (50, 4, 48, 48, 3)
+    assert os.path.exists(tmp_path / "translation" / "vdata.npy")
+    v2 = ensure_vdata(str(tmp_path), cfg)  # second call loads the cache
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
