@@ -273,11 +273,16 @@ def measure_reward_latency(
 
 
 def measure_train_throughput(
-    hw: int = 48, batch: int = 100, n_videos: int = 40, steps: int = 300
+    hw: int = 48,
+    batch: int = 100,
+    n_videos: int = 40,
+    steps: int = 300,
+    compute_dtype: str = "float32",
 ) -> float:
     """Fused-training steps/sec at the reference's shape (ContextSkip 48x48,
     batch 100, Adam — train_script.py:128,163): the wall rate of the
-    reference's 100k-iteration translation job."""
+    reference's 100k-iteration translation job. ``compute_dtype='bfloat16'``
+    measures the opt-in mixed-precision path (TrainConfig.compute_dtype)."""
     import numpy as np
 
     from imitation_from_observation_tpu.core.config import (
@@ -296,6 +301,7 @@ def measure_train_throughput(
         save_every=10**9,
         log_every=10**9,
         steps_per_call=50,
+        compute_dtype=compute_dtype,
     )
     trainer = TranslationTrainer(
         TranslationModelConfig(model="context_skip", image_size=(hw, hw)), cfg, vdata
@@ -509,6 +515,10 @@ def _main_gated(max_wait: float) -> None:
     except Exception:
         train_sps = None
     try:
+        train_sps_bf16 = round(measure_train_throughput(compute_dtype="bfloat16"), 1)
+    except Exception:
+        train_sps_bf16 = None
+    try:
         raycast_fps = round(measure_raycast_fps(), 1)
     except Exception as e:
         print(f"raycast bench unavailable: {type(e).__name__}: {e}", file=sys.stderr)
@@ -523,6 +533,7 @@ def _main_gated(max_wait: float) -> None:
         "reward_eval_latency_ms_per_step": reward_ms,
         "reward_eval_device_frames_ms_per_step": reward_dev_ms,
         "train_steps_per_sec": train_sps,
+        "train_steps_per_sec_bf16": train_sps_bf16,
         "raycast_frames_per_sec": raycast_fps,
         "frame_psnr_parity_db": psnr,
         "frame_psnr_bf16_params_db": None if bf16_psnr is None else round(bf16_psnr, 1),

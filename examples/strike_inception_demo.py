@@ -53,6 +53,10 @@ cfg = cfg.replace(
     train=cfg.train.replace(
         batch_size=25, n_videos=N_DEMOS, n_train=int(N_DEMOS * 0.8), n_skip=2,
         rescale=False, eval_every=200, save_every=2000, log_every=100,
+        # the random-init backbone's features are heavy-tailed; bare Adam
+        # (the reference's choice, with PRETRAINED features) hits recurring
+        # loss spikes here — clip the global grad norm
+        grad_clip_norm=1.0,
     ),
     rl=cfg.rl.replace(batch_size=2500, max_path_length=50, n_envs=50, n_iters=8,
                       init_std=10.0, snapshot_mode="all"),

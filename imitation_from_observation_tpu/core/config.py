@@ -68,6 +68,11 @@ class TrainConfig(_Base):
 
     batch_size: int = 100
     learning_rate: float = 1e-4
+    # optional global-norm gradient clipping (optax.clip_by_global_norm)
+    # before Adam. None matches the reference's bare Adam; set it for
+    # heavy-tailed inputs (e.g. the random-init-backbone feature pipeline,
+    # whose Adam diverges with recurring loss spikes unclipped).
+    grad_clip_norm: float | None = None
     n_iters: int = 100_000
     save_every: int = 5_000
     eval_every: int = 40
@@ -85,6 +90,11 @@ class TrainConfig(_Base):
     # host dispatch latency; requires on_device_data. log/eval cadence is
     # rounded to multiples of this.
     steps_per_call: int = 1
+    # forward/backward compute dtype: "bfloat16" runs the conv trunks on the
+    # MXU's native dtype (params, Adam state, and the loss reduction stay
+    # float32 — standard mixed precision). Opt-in: the committed recipe runs
+    # and the reference both trained f32.
+    compute_dtype: str = "float32"
     seed: int = 0
     data_axis: str = "data"  # mesh axis for data parallelism
     checkpoint_dir: str = "checkpoints"

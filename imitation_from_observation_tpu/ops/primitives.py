@@ -9,8 +9,13 @@ The reference model zoo is built from four primitives defined at
 TF1 checkpoint converted to numpy drops straight in.
 
 All convs run in NHWC with HWIO kernels — the layout XLA:TPU tiles onto the
-MXU without transposes. Compute dtype is the caller's; accumulation is f32
-via ``preferred_element_type``.
+MXU without transposes. Compute dtype is the caller's. For f32 inputs,
+``preferred_element_type=float32`` is requested explicitly (a no-op kept for
+documentation); for bf16 inputs it must NOT be: an upcasting
+``preferred_element_type`` makes the primitive's autodiff transpose rule see
+an f32 cotangent against bf16 operands and fail ("requires arguments to have
+the same dtypes"), and XLA:TPU accumulates bf16 conv/dot partials in f32 on
+the MXU regardless.
 """
 
 from __future__ import annotations
@@ -33,6 +38,13 @@ def lrelu(x: jax.Array, leak: float = 0.2) -> jax.Array:
     return jnp.maximum(x, leak * x)
 
 
+def _acc_dtype(x: jax.Array):
+    """preferred_element_type for MXU calls: f32 for f32 inputs (explicit
+    no-op), None for bf16 (see module docstring — an upcasting PET breaks
+    the AD transpose rule; the MXU accumulates bf16 in f32 anyway)."""
+    return jnp.float32 if x.dtype == jnp.float32 else None
+
+
 def conv2d(
     x: jax.Array,
     w: jax.Array,
@@ -53,7 +65,7 @@ def conv2d(
         window_strides=s,
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_acc_dtype(x),
     )
     if b is not None:
         out = out + b.astype(out.dtype)
@@ -107,7 +119,7 @@ def _deconv2d_phase(x: jax.Array, w: jax.Array, s: int) -> jax.Array:
                 window_strides=(1, 1),
                 padding=(pad_h, pad_w),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=_acc_dtype(x),
             )
             row.append(out)
         phases.append(row)
@@ -159,7 +171,7 @@ def deconv2d(
             padding=[(k_h - 1, k_h - 1), (k_w - 1, k_w - 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             transpose_kernel=True,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_acc_dtype(x),
         )
         lo_h = max(((-(-oh // s[0])) - 1) * s[0] + k_h - oh, 0) // 2
         lo_w = max(((-(-ow // s[1])) - 1) * s[1] + k_w - ow, 0) // 2
@@ -180,7 +192,7 @@ def deconv2d(
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             transpose_kernel=True,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_acc_dtype(x),
         )
     if b is not None:
         out = out + b.astype(out.dtype)
@@ -189,7 +201,7 @@ def deconv2d(
 
 def linear(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
     """Dense layer ``x @ w + b`` (arm_shaping.py:48-61), f32 accumulation."""
-    out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=_acc_dtype(x))
     if b is not None:
         out = out + b.astype(out.dtype)
     return out.astype(x.dtype)

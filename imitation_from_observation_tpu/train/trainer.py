@@ -100,7 +100,13 @@ class TranslationTrainer:
         self.train_sampler = PairSampler(self.train_data, self.batch_size, seed=train_cfg.seed)
         self.valid_sampler = PairSampler(self.valid_data, self.batch_size, seed=train_cfg.seed + 1)
 
-        self.tx = optax.adam(train_cfg.learning_rate)
+        adam = optax.adam(train_cfg.learning_rate)
+        if train_cfg.grad_clip_norm is not None:
+            self.tx = optax.chain(
+                optax.clip_by_global_norm(train_cfg.grad_clip_norm), adam
+            )
+        else:
+            self.tx = adam
         self._has_dropout = model_cfg.model in ("context_small", "context_vanilla_drop")
         self.state = self._init_state()
         self._train_step = self._build_train_step()
@@ -133,12 +139,27 @@ class TranslationTrainer:
         return TrainState(params, opt_state, step)
 
     def _loss_fn(self, params, src, ctx, tgt, dropout_key):
+        comp = jnp.dtype(self.cfg.compute_dtype)
+        if comp != jnp.float32:
+            # mixed precision: the conv trunks run in the MXU-native dtype;
+            # master params stay f32 (grads flow f32 through the casts) and
+            # the loss reduces over f32-cast outputs against f32 targets
+            cast = lambda p: p.astype(comp) if getattr(p, "dtype", None) == jnp.float32 else p
+            params = jax.tree_util.tree_map(cast, params)
+            src, ctx = src.astype(comp), ctx.astype(comp)
+            tgt_in = tgt.astype(comp)
+        else:
+            tgt_in = tgt
         if self._has_dropout:
             outs = self.model.apply(
-                params, src, ctx, tgt, deterministic=False, rngs={"dropout": dropout_key}
+                params, src, ctx, tgt_in, deterministic=False, rngs={"dropout": dropout_key}
             )
         else:
-            outs = self.model.apply(params, src, ctx, tgt)
+            outs = self.model.apply(params, src, ctx, tgt_in)
+        if comp != jnp.float32:
+            outs = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32) if hasattr(x, "astype") else x, outs
+            )
         return self._compute_loss(outs, tgt)
 
     def _compute_loss(self, outs, tgt):

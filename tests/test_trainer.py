@@ -118,3 +118,61 @@ def test_trainer_cadence_rounds_to_fused_calls(tmp_path, monkeypatch):
     assert int(tr.state.step) == 15  # rounded up, not 10 (and not 0)
     assert [e[0] for e in evals] == [5, 10, 15]  # crossings of every=4
     assert all(e[1] is False for e in evals)  # save_every=1000 never crossed
+
+
+def test_trainer_bf16_compute_matches_f32_trend(tmp_path):
+    """Mixed-precision training (compute_dtype='bfloat16': bf16 conv trunks,
+    f32 master params/Adam/loss) must track the f32 loss trajectory — the
+    quality gate for running translation training on the MXU-native dtype."""
+    vdata = _synthetic_vdata()
+    model_cfg = TranslationModelConfig(
+        model="context_skip", image_size=(16, 16), base_filters=8, feat_size=32
+    )
+    finals = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = TrainConfig(
+            batch_size=16, n_train=9, n_iters=60, eval_every=10**9,
+            save_every=10**9, log_every=10**9, learning_rate=1e-3, seed=0,
+            compute_dtype=dt, on_device_data=False,
+        )
+        tr = TranslationTrainer(model_cfg, cfg, vdata, log_dir=str(tmp_path / dt))
+        tr.train()
+        import jax
+        import jax.numpy as jnp
+
+        src = jnp.asarray(vdata[:, 9])
+        ctx = jnp.asarray(np.broadcast_to(vdata[0, 9], src.shape))
+        metrics, _ = tr._eval_step(tr.state.params, src, ctx, src)
+        finals[dt] = float(metrics["loss"] if "loss" in metrics else sum(
+            v for k, v in metrics.items() if k in ("recon1", "recon2", "simloss")
+        ))
+    assert np.isfinite(finals["bfloat16"])
+    # bf16 final loss within 1.5x of f32 (and both finite): same function
+    # class, quantization noise only
+    assert finals["bfloat16"] <= 1.5 * finals["float32"] + 1e-3, finals
+
+
+def test_trainer_grad_clip_bounds_update(tmp_path):
+    """grad_clip_norm caps the global gradient norm entering Adam: training
+    on inputs scaled 1000x (heavy-tailed, like random-backbone features)
+    must stay finite and produce bounded per-step parameter movement."""
+    vdata = _synthetic_vdata() * 1000.0
+    model_cfg = TranslationModelConfig(
+        model="context_skip", image_size=(16, 16), base_filters=8, feat_size=32
+    )
+    cfg = TrainConfig(
+        batch_size=16, n_train=9, n_iters=10, eval_every=10**9,
+        save_every=10**9, log_every=10**9, learning_rate=1e-3, seed=0,
+        grad_clip_norm=1.0, on_device_data=False,
+    )
+    tr = TranslationTrainer(model_cfg, cfg, vdata, log_dir=str(tmp_path))
+    import jax
+
+    p0 = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    tr.train()
+    p1 = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    deltas = jax.tree_util.tree_map(lambda a, b: np.abs(b - a).max(), p0, p1)
+    max_delta = max(jax.tree_util.tree_leaves(deltas))
+    assert np.isfinite(max_delta)
+    # Adam's per-step update is bounded by lr; 10 steps at lr 1e-3
+    assert max_delta <= 10 * 1e-3 * 1.5
