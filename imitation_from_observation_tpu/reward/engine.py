@@ -115,12 +115,21 @@ class VisualRewardEngine:
     # -- jitted pipelines --------------------------------------------------
     def _build_jits(self) -> None:
         model = self.model
-        # the engine's params are FROZEN after construction, so close them
-        # over the jits as compile-time constants instead of call arguments:
-        # on relay-attached devices every program invocation re-ships its
-        # argument buffers, and the ~150 MB param tree costs ~2 s PER CALL —
-        # baked in, it ships once at compile and per-iteration scoring is
-        # pure compute (measured 2.0 s -> 0.04 s for the 6,250-frame encode)
+        # the engine's params are FROZEN after construction. Default: close
+        # them over the jits as compile-time constants instead of call
+        # arguments — on relay-attached devices every program invocation
+        # re-ships its argument buffers, and the ~73 MB ContextSkip tree
+        # costs ~2 s PER CALL; baked in, it ships once at compile and
+        # per-iteration scoring is pure compute (measured 2.0 s -> 0.04 s
+        # for the 6,250-frame encode).
+        #
+        # BUT the relay's compile endpoint bounds its request body: baking
+        # a very large tree (ContextFeat is 153M params = 292 MB bf16) makes
+        # remote_compile fail with HTTP 413. Above a byte threshold
+        # (IFO_TPU_MAX_BAKED_PARAM_MB, default 128) params are passed as jit
+        # ARGUMENTS instead — device_put once, re-shipped per call by the
+        # relay (~4 s for ContextFeat; warmup + one scoring call per RL
+        # iteration keeps that amortized).
         comp = self.inference_dtype
         if comp != jnp.float32:
             # frozen-params inference: cast every f32 leaf (weights AND batch
@@ -133,11 +142,29 @@ class VisualRewardEngine:
         else:
             params = self.params
 
+        param_bytes = sum(
+            int(np.prod(p.shape)) * jnp.dtype(p.dtype).itemsize
+            for p in jax.tree_util.tree_leaves(params)
+            if hasattr(p, "shape")
+        )
+        max_baked = int(os.environ.get("IFO_TPU_MAX_BAKED_PARAM_MB", "128")) * 2**20
+        bake = param_bytes <= max_baked
+
+        def bind(fn):
+            """Close params in as XLA constants (small trees) or pre-bind a
+            device-resident tree passed as the leading jit argument (large
+            trees that would blow the relay's compile-body limit)."""
+            if bake:
+                jitted = jax.jit(lambda *a: fn(params, *a))
+                return jitted
+            jitted = jax.jit(fn)
+            params_dev = jax.device_put(params)
+            return lambda *a: jitted(params_dev, *a)
+
         if hasattr(model, "translate_one_ctx"):
             # warmup fast path: one shared agent context per viewpoint —
             # encode it ONCE per chunk instead of once per demo frame
-            @jax.jit
-            def translate_chunk_ctx1(src, ctx1):
+            def translate_chunk_ctx1(params, src, ctx1):
                 z, out = model.apply(
                     params, src.astype(comp), ctx1.astype(comp), method="translate_one_ctx"
                 )
@@ -145,16 +172,14 @@ class VisualRewardEngine:
 
         else:
 
-            @jax.jit
-            def translate_chunk_ctx1(src, ctx1):
+            def translate_chunk_ctx1(params, src, ctx1):
                 ctx_b = jnp.broadcast_to(ctx1, (src.shape[0], *ctx1.shape[1:]))
                 z, out = model.apply(
                     params, src.astype(comp), ctx_b.astype(comp), method="translate"
                 )
                 return z.astype(jnp.float32), out.astype(jnp.float32)
 
-        @jax.jit
-        def score_paths(x, means, mean_imgs, scale):
+        def score_paths(params, x, means, mean_imgs, scale):
             """x [P, T, V, ...] in model space — or raw uint8 frames, which
             normalize ON DEVICE (ship 1/4 the bytes over PCIe/relay);
             means [V, T, F]; mean_imgs [V, T, ...] -> costs [P, T]."""
@@ -178,8 +203,7 @@ class VisualRewardEngine:
                 costs = feat_cost + scale * pix_cost
             return jnp.sum(costs, axis=1)  # sum over viewpoints -> [P, T]
 
-        @jax.jit
-        def recon_paths(x, context):
+        def recon_paths(params, x, context):
             """Autoencode agent frames through their own context; pixel L2 to
             the originals (the 'recon' ablation's image term). x [P,T,V,...]
             and context [V,...] in model space, or uint8 (normalized here)."""
@@ -198,9 +222,10 @@ class VisualRewardEngine:
             err = jnp.sum((out - flat) ** 2, axis=pix_axes).reshape(P, T, V)
             return jnp.sum(err, axis=-1)
 
-        self._translate_chunk_ctx1 = translate_chunk_ctx1
-        self._score_paths = score_paths
-        self._recon_paths = recon_paths
+        self._params_baked = bake
+        self._translate_chunk_ctx1 = bind(translate_chunk_ctx1)
+        self._score_paths = bind(score_paths)
+        self._recon_paths = bind(recon_paths)
 
     # -- model-space mapping ------------------------------------------------
     def _frames_to_model_space(self, frames_u8: np.ndarray) -> np.ndarray:

@@ -321,3 +321,28 @@ def test_device_frames_truncated_path_bounds_T():
     for p in paths_dev:
         assert p["rewards"][3] != 0  # j=1 spliced (j=0 carries weight 0^2)
         assert np.all(p["rewards"][5::2] == 0)  # j >= 2 untouched everywhere
+
+
+def test_params_as_arguments_matches_baked(monkeypatch):
+    """Above IFO_TPU_MAX_BAKED_PARAM_MB the engine passes frozen params as
+    jit arguments instead of baking them in as XLA constants (the relay's
+    compile endpoint 413s on very large constant-embedding HLO — hit live by
+    ContextFeat's 292 MB bf16 tree). Both binding modes must score
+    identically."""
+    eng_baked, params, demo, _ = _engine_and_params()
+    assert eng_baked._params_baked
+    monkeypatch.setenv("IFO_TPU_MAX_BAKED_PARAM_MB", "0")
+    eng_args = VisualRewardEngine(
+        RewardConfig(mode="ours", ablation="none", scale=0.7),
+        MODEL_CFG,
+        params=params,
+        demo_data=demo,
+        chunk_videos=4,
+    )
+    assert not eng_args._params_baked
+    pa = _make_paths(n_paths=2, seed=5)
+    pb = _make_paths(n_paths=2, seed=5)
+    eng_baked.process(pa)
+    eng_args.process(pb)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(a["rewards"], b["rewards"], rtol=1e-6, atol=1e-7)
