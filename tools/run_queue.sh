@@ -78,7 +78,8 @@ run() {  # run <logfile> <cmd...> — gate on relay health + bench
       bench_hold
       until probe; do sleep 120; done
       step "$@"
-      echo "$(date) done(retry rc=$?): ${*:2}" >> /tmp/queue_chain.log
+      local rc2=$?  # capture BEFORE $(date) in the echo clobbers $?
+      echo "$(date) done(retry rc=$rc2): ${*:2}" >> /tmp/queue_chain.log
     else
       echo "$(date) FAIL-FAST (rc=$rc, deterministic crash — no retry): ${*:2}" >> /tmp/queue_chain.log
     fi
