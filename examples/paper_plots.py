@@ -279,6 +279,21 @@ def main() -> None:
             "(`push_full_recipe/rl_nvp2/`).",
             "",
         ]
+    si = os.path.join(RES, "strike_inception_demo", "summary.json")
+    if os.path.isfile(si):
+        with open(si) as f:
+            s4 = json.load(f)
+        lines += [
+            "Strike through Inception-v3 features (BASELINE config 4, the",
+            "299x299 Mixed_7c -> ContextFeat feature-space pipeline) runs end",
+            f"to end at its real shape: first {s4['first']:.3f} -> best "
+            f"{s4['best']:.3f}",
+            "over 8 TRPO iterations — with a RANDOM-INIT backbone (no",
+            "pretrained slim checkpoint exists in-image), so it demonstrates",
+            "the pipeline, not ImageNet-feature reward quality",
+            "(`strike_inception_demo/NOTES.md`).",
+            "",
+        ]
     rsum = os.path.join(RES, "real_full_recipe", "summary.json")
     if os.path.isfile(rsum):
         with open(rsum) as f:
