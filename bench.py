@@ -237,10 +237,15 @@ def measure_reward_latency(
 
     eng.process(make_paths(1))  # compile + demo-translation warmup cache
     eng.process(make_paths(2))  # steady-state warm call
-    t0 = time.perf_counter()
-    eng.process(make_paths(3))
-    dt = time.perf_counter() - t0
-    host_ms = dt / (n_paths * horizon) * 1e3
+    # median of 3 timed calls: one process() is a single relay round trip,
+    # so a lone sample carries ~relay-jitter-sized noise (observed 0.12 vs
+    # 0.29 ms/step across benches minutes apart)
+    samples = []
+    for s in (3, 4, 5):
+        t0 = time.perf_counter()
+        eng.process(make_paths(s))
+        samples.append(time.perf_counter() - t0)
+    host_ms = sorted(samples)[1] / (n_paths * horizon) * 1e3
 
     # The production RL loop never ships frames to the host: the raycast
     # renderer leaves them device-resident and the engine gathers/scores them
@@ -266,9 +271,12 @@ def measure_reward_latency(
 
     eng.process(make_dev_paths(1))  # compile/warm the device gather + score
     eng.process(make_dev_paths(2))
-    t0 = time.perf_counter()
-    eng.process(make_dev_paths(3))
-    dev_ms = (time.perf_counter() - t0) / (n_paths * horizon) * 1e3
+    samples = []
+    for s in (3, 4, 5):
+        t0 = time.perf_counter()
+        eng.process(make_dev_paths(s))
+        samples.append(time.perf_counter() - t0)
+    dev_ms = sorted(samples)[1] / (n_paths * horizon) * 1e3
     return host_ms, dev_ms
 
 
