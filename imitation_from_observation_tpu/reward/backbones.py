@@ -27,8 +27,14 @@ def make_inception_feature_fn(
     npz_path: str | None = None,
     input_size: tuple[int, int] | None = None,
     seed: int = 0,
+    chunk: int = 64,
 ):
-    """Build a jitted ``uint8 frames [B, H, W, 3] -> features`` function."""
+    """Build a jitted ``uint8 frames [B, H, W, 3] -> features`` function.
+
+    Calls are processed in fixed ``chunk``-frame slices (last slice padded —
+    ONE compiled shape): at 299x299 the early-layer activations are ~10 MB
+    per frame, so an unchunked RL scoring batch (P*T = 1,250 frames) would
+    blow HBM; 64-frame programs are the proven-working featurize shape."""
     model = InceptionV3(final_endpoint=layer)
     if params is None:
         size = input_size or (299, 299)
@@ -40,10 +46,27 @@ def make_inception_feature_fn(
             params = model.init(jax.random.key(seed), x)
 
     @jax.jit
-    def feature_fn(frames_u8):
-        x = preprocess_uint8(jnp.asarray(frames_u8))
+    def _chunk_fn(frames_u8):
+        x = preprocess_uint8(frames_u8)
         ep = model.apply(params, x, features_only=True)
         return ep[layer]
+
+    def feature_fn(frames_u8):
+        import numpy as np
+
+        frames_u8 = np.asarray(frames_u8)
+        n = frames_u8.shape[0]
+        if n <= chunk:
+            pad = chunk - n
+            if pad:
+                frames_u8 = np.concatenate(
+                    [frames_u8, np.repeat(frames_u8[-1:], pad, axis=0)]
+                )
+            return _chunk_fn(jnp.asarray(frames_u8))[:n]
+        outs = []
+        for s in range(0, n, chunk):
+            outs.append(np.asarray(feature_fn(frames_u8[s : s + chunk])))
+        return np.concatenate(outs)
 
     return feature_fn
 

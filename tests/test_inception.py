@@ -231,3 +231,30 @@ def test_inceptionsame_reward_end_to_end():
     # j=0 contributes 0, so only step 3 moves for horizon 4
     assert path["rewards"][3] <= before[3]
     assert np.all(np.isfinite(path["rewards"]))
+
+
+def test_feature_fn_chunking_matches_unchunked():
+    """feature_fn processes calls in fixed-size padded chunks (one compiled
+    shape; unchunked 1,250-frame scoring batches at 299x299 would blow HBM).
+    Chunked output must equal the single-call values on every frame."""
+    import numpy as np
+
+    from imitation_from_observation_tpu.reward.backbones import (
+        make_inception_feature_fn,
+    )
+
+    hw = 79
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (10, hw, hw, 3), dtype=np.uint8)
+    f_one = make_inception_feature_fn(layer="Mixed_7c", input_size=(hw, hw), seed=0, chunk=16)
+    f_chk = make_inception_feature_fn(layer="Mixed_7c", input_size=(hw, hw), seed=0, chunk=4)
+    a = np.asarray(f_one(frames))  # 10 <= 16: single padded call
+    b = np.asarray(f_chk(frames))  # 4+4+2: multi-chunk path
+    assert a.shape[0] == 10 and b.shape == a.shape
+    # XLA tiles convs differently per batch size, so f32 accumulation order
+    # (and ReLU sign flips near zero) differ slightly between chunkings;
+    # gate on RMS-scaled error rather than elementwise rtol
+    rms = float(np.sqrt(np.mean(a**2)))
+    assert rms > 0
+    err = float(np.sqrt(np.mean((a - b) ** 2)))
+    assert err / rms < 1e-4, (err, rms)
