@@ -52,6 +52,14 @@ def train_expert(
     )
     algo.train()
     vec.close()
+    if algo.best is not None:
+        # save the argmax-ReturnTrue iterate, not the final params: TRPO
+        # experts can diverge late (observed: thrower best -3.03 @ itr 16,
+        # final -6.36 — demos recorded from the final policy were WORSE than
+        # the reference's weak expert)
+        from imitation_from_observation_tpu.core.checkpoint import load_pytree
+
+        policy.params = load_pytree(algo.best["path"], policy.params)
     save_pytree(
         out_path,
         policy.params,

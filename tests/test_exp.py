@@ -534,3 +534,27 @@ def test_inception_feature_pipeline_launchers(tmp_path):
     assert len(history) == 1
     assert history[0]["AverageReturn"] < 0  # visual costs spliced
     assert np.isfinite(history[0]["ReturnTrue"])
+
+
+def test_train_expert_saves_best_iterate(tmp_path):
+    """train_expert must persist the argmax-ReturnTrue iterate, not the
+    final params — TRPO experts can diverge late (observed on thrower:
+    best -3.03 @ itr 16, final -6.36, demos recorded from final)."""
+    import jax
+
+    from imitation_from_observation_tpu.core.checkpoint import load_pytree
+
+    rl = RLConfig(
+        batch_size=120, max_path_length=6, n_iters=3, n_envs=4, snapshot_mode="none",
+        policy_hidden=(8,), init_std=1.0,
+    )
+    expert_path = str(tmp_path / "expert")
+    policy = train_expert(
+        "pusher3dof", expert_path, rl=rl, env_overrides=dict(horizon=6),
+        log_dir=str(tmp_path / "logs"),
+    )
+    best = load_pytree(str(tmp_path / "logs" / "snapshots" / "best"), policy.params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(policy.params), jax.tree_util.tree_leaves(best)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
