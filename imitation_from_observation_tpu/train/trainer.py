@@ -41,6 +41,26 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def _pack_device_data(data: np.ndarray) -> tuple[np.ndarray, bool]:
+    """uint8-pack a [-1, 1] float dataset when exactly recoverable.
+
+    The demo ingest produces frames as ``u8 / 127.5 - 1`` (preprocess.py
+    ``transform``); re-quantizing the device-resident copy to uint8 cuts its
+    HBM footprint 4x and the in-step decode fuses into the batch gather.
+    At the reference's 4,000-video push budget the f32 dataset alone is
+    5.5 GB — with the fused train step's temps that OOMed a 16 GB chip by
+    823 KB. Non-u8-exact data (feature-space ContextFeat datasets, synthetic
+    test videos) falls back to f32 untouched; decode round-trips within
+    1 ulp of the host path (both are IEEE f32 ``u8 / 127.5 - 1``).
+    """
+    if data.dtype != np.float32:
+        return data, False
+    u8 = np.rint((data + np.float32(1.0)) * np.float32(127.5)).astype(np.uint8)
+    if np.max(np.abs(u8.astype(np.float32) / np.float32(127.5) - np.float32(1.0) - data)) < 1e-6:
+        return u8, True
+    return data, False
+
+
 def nn_err_metric(tgt: jax.Array, out: jax.Array, nlen: int) -> jax.Array:
     """Nearest-neighbor frame-index error (train_script.py:148).
 
@@ -114,8 +134,9 @@ class TranslationTrainer:
         if train_cfg.on_device_data:
             # device-resident dataset (replicated); batches are gathered and
             # resharded onto the data axis inside the jitted step
+            dev_data, self._dev_data_u8 = _pack_device_data(self.train_data)
             self._train_data_dev = jax.device_put(
-                jnp.asarray(self.train_data), replicated(self.mesh)
+                jnp.asarray(dev_data), replicated(self.mesh)
             )
             self._train_step_dev = self._build_train_step_dev()
         self.valid_losses: list[float] = []
@@ -195,6 +216,8 @@ class TranslationTrainer:
         frame_idx = jnp.arange(B) % nlen
         K = max(1, self.cfg.steps_per_call)
 
+        unpack_u8 = self._dev_data_u8
+
         def one_step(state: TrainState, data):
             key = jax.random.fold_in(jax.random.key(self.cfg.seed + 2), state.step)
             k_src, k_tgt, k_drop = jax.random.split(key, 3)
@@ -203,6 +226,9 @@ class TranslationTrainer:
             src = jax.lax.with_sharding_constraint(data[frame_idx, cs], batch_sh)
             tgt = jax.lax.with_sharding_constraint(data[frame_idx, ct], batch_sh)
             ctx = jax.lax.with_sharding_constraint(data[0, ct], batch_sh)
+            if unpack_u8:  # dataset stored uint8; decode the gathered batch
+                dec = lambda x: x.astype(jnp.float32) / 127.5 - 1.0
+                src, tgt, ctx = dec(src), dec(tgt), dec(ctx)
             (loss, metrics), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
                 state.params, src, ctx, tgt, k_drop
             )
