@@ -49,11 +49,21 @@ class ConvBN(nn.Module):
             (self.stride, self.stride),
             self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )
+            # f32 explicit no-op for f32 inputs; None for bf16 — an upcasting
+            # PET breaks the AD transpose rule (ops/primitives.py::_acc_dtype)
+            # and the MXU accumulates bf16 in f32 regardless
+            preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+        ).astype(jnp.float32)
         beta = self.param("beta", nn.initializers.zeros, (self.features,), jnp.float32)
         mean = self.param("moving_mean", nn.initializers.zeros, (self.features,), jnp.float32)
         var = self.param("moving_variance", nn.initializers.ones, (self.features,), jnp.float32)
+        # BN-stat calibration hook (no-op unless "bn_stats" is mutable in
+        # apply): expose this layer's pre-normalization batch statistics so
+        # calibrate_bn can write them into moving_mean/moving_variance —
+        # the in-image substitute for pretrained stats (see pretrain_backbone)
+        axes = tuple(range(y.ndim - 1))
+        self.sow("bn_stats", "mean", jnp.mean(y, axes), reduce_fn=lambda _, b: b)
+        self.sow("bn_stats", "var", jnp.var(y, axes), reduce_fn=lambda _, b: b)
         y = (y - mean) * jax.lax.rsqrt(var + 1e-3) + beta
         return nn.relu(y).astype(x.dtype)
 
@@ -250,6 +260,48 @@ class InceptionV3(nn.Module):
 def preprocess_uint8(frames: jax.Array) -> jax.Array:
     """uint8 [..., H, W, 3] -> [-1, 1] float (base.py:117-120)."""
     return frames.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+
+
+def calibrate_bn(model: InceptionV3, params: Any, x: jax.Array, n_passes: int = 60) -> Any:
+    """Data-dependent BN calibration: write each ConvBN's observed
+    pre-normalization batch statistics into its moving_mean/moving_variance.
+
+    The module is inference-oriented (stats are plain params; the reference
+    always ran the backbone ``is_training=False`` with PRETRAINED stats,
+    base.py:77-78). With no pretrained checkpoint in the image, random-init
+    activations explode multiplicatively through the trunk (~1e8 RMS at
+    Mixed_7c). Calibration restores per-layer unit-scale activations the way
+    LSUV-style data-dependent init does: each pass re-measures batch stats on
+    calibration frames ``x`` and overwrites the stored stats — layer k's
+    statistics are only correct once layers <k are normalized, so ``n_passes``
+    must be >= the ConvBN depth along the longest path (~20 to Mixed_7c).
+    """
+
+    @jax.jit
+    def measure(p):
+        _, st = model.apply(p, x, features_only=True, mutable=["bn_stats"])
+        return st["bn_stats"]
+
+    def write(node, stats):
+        for k, v in stats.items():
+            if isinstance(v, dict):
+                write(node[k], v)
+        if "mean" in stats and not isinstance(stats["mean"], dict):
+            # until a layer's upstream is normalized its pre-activations can
+            # overflow f32 (inf/nan stats); sanitize so later passes converge
+            # from any intermediate state. Var floor: a dead channel would
+            # otherwise rsqrt to inf through the 1e-3 eps alone.
+            mean, var = stats["mean"], stats["var"]
+            node["moving_mean"] = jnp.where(jnp.isfinite(mean), mean, 0.0)
+            node["moving_variance"] = jnp.maximum(
+                jnp.where(jnp.isfinite(var), var, 1.0), 1e-6
+            )
+
+    params = jax.tree_util.tree_map(lambda a: a, params)  # deep-copy containers
+    for _ in range(n_passes):
+        stats = jax.device_get(measure(params))
+        write(params["params"], stats)
+    return params
 
 
 def load_tf_slim_npz(npz_path: str, params_like) -> Any:

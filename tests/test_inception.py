@@ -258,3 +258,77 @@ def test_feature_fn_chunking_matches_unchunked():
     assert rms > 0
     err = float(np.sqrt(np.mean((a - b) ** 2)))
     assert err / rms < 1e-4, (err, rms)
+
+
+def test_calibrate_bn_normalizes_scale():
+    """Data-dependent BN calibration must tame the random-init activation
+    explosion: post-calibration the endpoint RMS is O(1) (observed ~1e8 at
+    299x299 uncalibrated) and a held-out batch stays the same scale."""
+    import numpy as np
+
+    from imitation_from_observation_tpu.models.inception_v3 import (
+        InceptionV3,
+        calibrate_bn,
+        preprocess_uint8,
+    )
+
+    hw = 79
+    rng = np.random.default_rng(0)
+    model = InceptionV3(final_endpoint="Mixed_7c")
+    x = preprocess_uint8(jnp.asarray(rng.integers(0, 255, (8, hw, hw, 3), np.uint8)))
+    params = model.init(jax.random.key(0), x[:1])
+    raw = np.asarray(model.apply(params, x, features_only=True)["Mixed_7c"])
+    cal_params = calibrate_bn(model, params, x, n_passes=50)
+    cal = np.asarray(model.apply(cal_params, x, features_only=True)["Mixed_7c"])
+    held = preprocess_uint8(jnp.asarray(rng.integers(0, 255, (8, hw, hw, 3), np.uint8)))
+    cal_h = np.asarray(model.apply(cal_params, held, features_only=True)["Mixed_7c"])
+    rms = lambda a: float(np.sqrt(np.mean(np.square(a, dtype=np.float64))))
+    assert rms(cal) < 10.0 < rms(raw), (rms(cal), rms(raw))
+    assert 0.01 < rms(cal_h) / max(rms(cal), 1e-9) < 100.0
+    # weights untouched — only the stored BN statistics moved
+    np.testing.assert_array_equal(
+        np.asarray(params["params"]["Conv2d_1a_3x3"]["weights"]),
+        np.asarray(cal_params["params"]["Conv2d_1a_3x3"]["weights"]),
+    )
+    assert not np.array_equal(
+        np.asarray(params["params"]["Conv2d_1a_3x3"]["moving_variance"]),
+        np.asarray(cal_params["params"]["Conv2d_1a_3x3"]["moving_variance"]),
+    )
+
+
+def test_pretrain_inception_time_tiny(tmp_path):
+    """The TimeSoftmax pretext (arm_shaping.py:303) applied to the backbone:
+    trains on tiny synthetic demo frames, returns params usable by
+    make_inception_feature_fn, and beats chance on its own train batch after
+    a few steps (the dot's x-position encodes time exactly)."""
+    import numpy as np
+
+    from imitation_from_observation_tpu.exp.pretrain_backbone import (
+        pretrain_inception_time,
+    )
+    from imitation_from_observation_tpu.reward.backbones import (
+        make_inception_feature_fn,
+    )
+
+    T, N, hw = 3, 6, 79
+    rng = np.random.default_rng(0)
+    frames = np.zeros((T, N, hw, hw, 3), np.uint8)
+    for n in range(N):
+        bg = rng.integers(0, 120, 3)
+        frames[:, n] = bg
+        for t in range(T):
+            x = 10 + t * 20
+            frames[t, n, 30:50, x : x + 12] = 255
+    params, metrics = pretrain_inception_time(
+        frames, n_steps=12, batch=8, calib_batch=8, calib_passes=50,
+        n_valid_videos=2, seed=0, log_every=6,
+    )
+    assert np.isfinite(metrics["pretext_ce"]) and np.isfinite(metrics["valid_ce"])
+    assert metrics["valid_acc"] >= metrics["chance_acc"] - 1e-6
+
+    feature_fn = make_inception_feature_fn(
+        layer="Mixed_7c", params=params, input_size=(hw, hw), chunk=8
+    )
+    feats = np.asarray(feature_fn(frames[0]))
+    assert feats.shape[0] == N and np.all(np.isfinite(feats))
+    assert float(np.sqrt(np.mean(feats**2))) < 10.0  # calibrated scale
