@@ -49,8 +49,9 @@ def pretrain_inception_time(
     grad_clip: float = 1.0,
     seed: int = 0,
     n_valid_videos: int = 0,
+    steps_per_call: int = 50,
     calib_batch: int = 64,
-    calib_passes: int = 40,
+    calib_passes: int = 60,
     compute_dtype: str = "bfloat16",
     log_every: int = 100,
     logger=None,
@@ -111,8 +112,7 @@ def pretrain_inception_time(
         acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
         return jnp.mean(ce), acc
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(state, opt_state, step, data):
+    def one_step(state, opt_state, step):
         key = jax.random.fold_in(jax.random.key(seed + 2), step)
         kt, kn = jax.random.split(key)
         ts = jax.random.randint(kt, (batch,), 0, T)
@@ -120,17 +120,43 @@ def pretrain_inception_time(
         frames = preprocess_uint8(data[ts, ns]).astype(comp)
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state, frames, ts)
         updates, opt_state = tx.update(grads, opt_state)
-        state = optax.apply_updates(state, updates)
-        return state, opt_state, loss, acc
+        return optax.apply_updates(state, updates), opt_state, loss, acc
+
+    # fuse K optimizer steps per device call: the TPU relay re-ships argument
+    # buffers every program call, and the ~90 MB backbone params change every
+    # step — amortize exactly the way train/trainer.py's fused scan does
+    K = max(1, min(steps_per_call, n_steps))
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_steps(state, opt_state, step0):
+        def body(carry, i):
+            s, o, _, _ = one_step(carry[0], carry[1], step0 + i)
+            return (s, o), None
+
+        (state, opt_state), _ = jax.lax.scan(body, (state, opt_state), jnp.arange(K))
+        return state, opt_state
+
+    @jax.jit
+    def probe_metrics(state, step):
+        key = jax.random.fold_in(jax.random.key(seed + 2), step)
+        kt, kn = jax.random.split(key)
+        ts = jax.random.randint(kt, (batch,), 0, T)
+        ns = jax.random.randint(kn, (batch,), 0, n_train)
+        frames = preprocess_uint8(data[ts, ns]).astype(comp)
+        return loss_fn(state, frames, ts)
 
     t0 = time.perf_counter()
     loss = acc = float("nan")
-    for step in range(n_steps):
-        state, opt_state, loss_d, acc_d = train_step(state, opt_state, step, data)
-        if (step + 1) % log_every == 0 or step == n_steps - 1:
+    total = -(-n_steps // K) * K  # round UP — never silently under-train
+    log_calls = max(1, log_every // K)
+    for call, step0 in enumerate(range(0, total, K)):
+        state, opt_state = train_steps(state, opt_state, jnp.asarray(step0))
+        if (call + 1) % log_calls == 0 or step0 + K >= total:
+            loss_d, acc_d = probe_metrics(state, jnp.asarray(step0 + K))
             loss, acc = float(loss_d), float(acc_d)
-            log.log(f"pretrain {step + 1}/{n_steps} ce={loss:.3f} acc={acc:.3f}")
+            log.log(f"pretrain {step0 + K}/{total} ce={loss:.3f} acc={acc:.3f}")
     train_s = time.perf_counter() - t0
+    n_steps = total
 
     # re-calibrate the stored stats against the FINAL weights (training
     # shifted every layer's pre-BN distribution away from the init-time stats)
