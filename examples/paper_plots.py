@@ -279,6 +279,19 @@ def main() -> None:
             "(`push_full_recipe/rl_nvp2/`).",
             "",
         ]
+    p4k = os.path.join(RES, "push_4k", "summary.json")
+    if os.path.isfile(p4k):
+        with open(p4k) as f:
+            pk = json.load(f)
+        lines += [
+            "Push at the reference's FULL 4,000-video data budget",
+            "(run_train_strike.py:37-39's number; only the data changed vs the",
+            f"2,000-video headline): best {pk['visual']['best']:.3f} @ itr",
+            f"{pk['visual']['best_iter']} (max success "
+            f"{pk['visual']['max_success']:.2f})",
+            f"vs 2k-video best {pk['push_full_recipe_best']:.3f} (`push_4k/`).",
+            "",
+        ]
     si = os.path.join(RES, "strike_inception_demo", "summary.json")
     if os.path.isfile(si):
         with open(si) as f:
@@ -292,6 +305,25 @@ def main() -> None:
             "pretrained slim checkpoint exists in-image), so it demonstrates",
             "the pipeline, not ImageNet-feature reward quality",
             "(`strike_inception_demo/NOTES.md`).",
+            "",
+        ]
+    ss = os.path.join(RES, "strike_inception_selfsup", "summary.json")
+    if os.path.isfile(ss):
+        with open(ss) as f:
+            s5 = json.load(f)
+        extra = ""
+        pm = os.path.join(RES, "strike_inception_selfsup", "pretrain_metrics.json")
+        if os.path.isfile(pm):
+            with open(pm) as f:
+                m = json.load(f)
+            extra = (f" (pretext valid acc {m.get('valid_acc', float('nan')):.2f}"
+                     f" vs chance {m.get('chance_acc', float('nan')):.2f})")
+        lines += [
+            "The same config-4 pipeline with an IN-IMAGE self-supervised",
+            "backbone — BN calibration + the reference's TimeSoftmax pretext",
+            f"on the demo videos themselves{extra}: first {s5['first']:.3f} ->",
+            f"best {s5['best']:.3f}, max success {s5.get('max_success', 0):.2f}",
+            "(`strike_inception_selfsup/NOTES.md`). No external weights used.",
             "",
         ]
     rsum = os.path.join(RES, "real_full_recipe", "summary.json")
