@@ -7,10 +7,21 @@ experiment is a *typed json spec* — launcher name + ExperimentConfig + kwargs
 ``local`` (subprocess per variant, sequential). The spec and the full config
 are saved into the experiment dir (the reference's params.json/variant.json).
 
+The reference's remote modes (``local_docker``/``ec2``, instrument.py:455-500)
+map onto :func:`make_launch_bundle`: a self-contained bundle directory with
+the spec, a ``launch.sh`` (env setup + runner command + the reference's
+periodic result sync and sync-on-termination, instrument.py
+``periodic_sync``/``sync_log_on_termination``), and a ``docker_cmd.sh``
+(``to_docker_command`` role). Bundles EXECUTE locally via :func:`run_bundle`;
+docker/cloud execution is generation-only in this image (no docker binary,
+no cloud reachability) — the bundle is exactly what a remote worker runs.
+
 Usage:
     python -m imitation_from_observation_tpu.exp.run_experiment --spec spec.json
     python -m imitation_from_observation_tpu.exp.run_experiment \
         --launcher run_pipeline --task push --log-dir data/push --seed 1
+    python -m imitation_from_observation_tpu.exp.run_experiment \
+        --spec spec.json --mode bundle --bundle-dir data/bundles/exp1
 """
 
 from __future__ import annotations
@@ -31,7 +42,19 @@ LAUNCHERS = {
     "run_visual_trpo": "imitation_from_observation_tpu.exp.launchers:run_visual_trpo",
     "train_expert": "imitation_from_observation_tpu.exp.train_expert:train_expert",
     "generate_demo_videos": "imitation_from_observation_tpu.exp.gen_videos:generate_demo_videos",
+    "smoke": "imitation_from_observation_tpu.exp.run_experiment:_smoke",
 }
+
+
+def _smoke(log_dir: str = "data/exp", **kwargs) -> str:
+    """Trivial launcher: writes a marker file. Used to validate launch
+    bundles end-to-end (a bundle's launch.sh really executes the runner)
+    without paying for a training run."""
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, "smoke.json")
+    with open(path, "w") as f:
+        json.dump({"ok": True, "kwargs": {k: str(v) for k, v in kwargs.items()}}, f)
+    return path
 
 
 def _resolve(name: str):
@@ -64,6 +87,108 @@ def run_local(spec: dict[str, Any]) -> int:
     )
 
 
+def make_launch_bundle(
+    spec: dict[str, Any],
+    bundle_dir: str,
+    *,
+    docker_image: str = "imitation-from-observation-tpu:latest",
+    env: dict[str, str] | None = None,
+    sync_dest: str | None = None,
+    periodic_sync_interval: int = 15,
+    code_dir: str | None = None,
+) -> dict[str, str]:
+    """Generate a self-contained launch bundle (instrument.py:455-520 role).
+
+    Writes into ``bundle_dir``:
+
+    - ``spec.json`` — the typed task (the reference's base64-pickled
+      ``args_data``, made inspectable)
+    - ``launch.sh`` — env exports + the runner command; when ``sync_dest`` is
+      set, a backgrounded periodic result sync plus a final sync on exit
+      (``periodic_sync`` + ``sync_log_on_termination``)
+    - ``docker_cmd.sh`` — the ``to_docker_command`` equivalent: mounts the
+      code dir and runs the same ``launch.sh`` inside ``docker_image``
+    - ``metadata.json`` — image/env/sync settings for the launcher that
+      consumes the bundle
+
+    Returns the path map. Execution: :func:`run_bundle` locally; the docker/
+    cloud paths are generation-only in this image (no docker, no cloud).
+    """
+    os.makedirs(bundle_dir, exist_ok=True)
+    code_dir = os.path.abspath(
+        code_dir or os.path.join(os.path.dirname(__file__), "..", "..")
+    )
+    log_dir = spec.get("log_dir") or spec.get("kwargs", {}).get("log_dir", "data/exp")
+    spec_path = os.path.join(bundle_dir, "spec.json")
+    with open(spec_path, "w") as f:
+        json.dump(spec, f, indent=2, default=str)
+
+    env = dict(env or {})
+    env.setdefault("PYTHONPATH", code_dir)
+    exports = "\n".join(f"export {k}={json.dumps(v)}" for k, v in sorted(env.items()))
+    run_cmd = (
+        f"{json.dumps(sys.executable)} -m imitation_from_observation_tpu.exp.run_experiment "
+        f"--spec {json.dumps(os.path.abspath(spec_path))}"
+    )
+    sync_block = ""
+    if sync_dest:
+        # periodic sync loop + final sync on termination; cp -ru is the
+        # in-image stand-in for the reference's `aws s3 sync` (no rsync/aws)
+        sync_block = f"""
+SYNC_SRC={json.dumps(os.path.abspath(log_dir))}
+SYNC_DEST={json.dumps(os.path.abspath(sync_dest))}
+sync_results() {{ mkdir -p "$SYNC_DEST" && cp -ru "$SYNC_SRC/." "$SYNC_DEST/" 2>/dev/null || true; }}
+( while sleep {int(periodic_sync_interval)}; do sync_results; done ) &
+SYNC_PID=$!
+trap 'kill $SYNC_PID 2>/dev/null; sync_results' EXIT
+"""
+    launch_path = os.path.join(bundle_dir, "launch.sh")
+    with open(launch_path, "w") as f:
+        f.write(f"""#!/bin/bash
+# generated by make_launch_bundle — run_experiment_lite equivalent
+set -u
+{exports}
+{sync_block}
+{run_cmd}
+""")
+    os.chmod(launch_path, 0o755)
+
+    docker_path = os.path.join(bundle_dir, "docker_cmd.sh")
+    env_flags = " ".join(f"-e {k}={json.dumps(v)}" for k, v in sorted(env.items()))
+    with open(docker_path, "w") as f:
+        f.write(f"""#!/bin/bash
+# to_docker_command equivalent (instrument.py mode='local_docker'); this
+# image has no docker binary — run on a host that does, or use launch.sh
+docker run --rm -v {json.dumps(code_dir)}:/code -w /code {env_flags} \\
+  {docker_image} bash {json.dumps(os.path.abspath(launch_path))}
+""")
+    os.chmod(docker_path, 0o755)
+
+    meta_path = os.path.join(bundle_dir, "metadata.json")
+    with open(meta_path, "w") as f:
+        json.dump(
+            dict(
+                docker_image=docker_image,
+                env=env,
+                sync_dest=sync_dest,
+                periodic_sync_interval=periodic_sync_interval,
+                code_dir=code_dir,
+                log_dir=log_dir,
+            ),
+            f,
+            indent=2,
+        )
+    return dict(
+        spec=spec_path, launch=launch_path, docker=docker_path, metadata=meta_path
+    )
+
+
+def run_bundle(bundle_dir: str) -> int:
+    """Execute a bundle's launch.sh locally (the mode='local' execution of a
+    generated bundle; a remote worker would run the same script)."""
+    return subprocess.call(["bash", os.path.join(bundle_dir, "launch.sh")])
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--spec", help="path to a json spec")
@@ -79,6 +204,14 @@ def main(argv=None):
         "--resume-from",
         help="policy checkpoint to restore before training (scripts/resume_training.py capability)",
     )
+    p.add_argument(
+        "--mode", choices=("inline", "bundle"), default="inline",
+        help="inline: run the spec here; bundle: generate a launch bundle "
+             "(instrument.py local_docker/ec2 role) without executing",
+    )
+    p.add_argument("--bundle-dir", help="output dir for --mode bundle")
+    p.add_argument("--docker-image", default="imitation-from-observation-tpu:latest")
+    p.add_argument("--sync-dest", help="periodic result-sync destination for the bundle")
     args = p.parse_args(argv)
     if args.spec:
         with open(args.spec) as f:
@@ -98,6 +231,15 @@ def main(argv=None):
         if args.resume_from:
             kwargs["resume_from"] = args.resume_from
         spec = dict(launcher=args.launcher, log_dir=args.log_dir, kwargs=kwargs)
+    if args.mode == "bundle":
+        if not args.bundle_dir:
+            p.error("--mode bundle needs --bundle-dir")
+        paths = make_launch_bundle(
+            spec, args.bundle_dir,
+            docker_image=args.docker_image, sync_dest=args.sync_dest,
+        )
+        print(json.dumps(paths, indent=1))
+        return
     run_spec(spec)
 
 
