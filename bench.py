@@ -301,6 +301,14 @@ def measure_train_throughput(
 
     rng = np.random.default_rng(0)
     vdata = rng.uniform(-1, 1, (26, n_videos, hw, hw, 3)).astype(np.float32)
+    # snap to the u8 grid so the trainer takes its PRODUCTION device-data
+    # path (uint8-packed dataset, in-step decode) — real demo ingests are
+    # u8-exact by construction (video/preprocess.py transform)
+    vdata = (
+        np.rint((vdata + 1.0) * 127.5).astype(np.uint8).astype(np.float32)
+        / np.float32(127.5)
+        - np.float32(1.0)
+    )
     cfg = TrainConfig(
         batch_size=batch,
         n_iters=steps,
