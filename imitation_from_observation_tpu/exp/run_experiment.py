@@ -189,6 +189,39 @@ def run_bundle(bundle_dir: str) -> int:
     return subprocess.call(["bash", os.path.join(bundle_dir, "launch.sh")])
 
 
+def make_fanout_bundles(
+    base_spec: dict[str, Any],
+    variants: list[dict[str, Any]],
+    root_dir: str,
+    **bundle_kwargs,
+) -> list[dict[str, str]]:
+    """Cluster scale-out artifacts: one launch bundle per variant.
+
+    The reference fanned a ``VariantGenerator`` sweep over EC2 machines
+    (instrument.py ``batch_tasks`` + ``launch_ec2``); here each variant
+    becomes a self-contained bundle under ``root_dir/v<i>/`` — exactly what a
+    cluster scheduler (or N workers running ``run_bundle``) consumes. Variant
+    keys merge into the spec's kwargs; each variant gets its own log_dir and
+    a ``variant.json`` alongside the spec.
+    """
+    out = []
+    for i, variant in enumerate(variants):
+        bdir = os.path.join(root_dir, f"v{i}")
+        spec = json.loads(json.dumps(base_spec, default=str))  # deep copy
+        kwargs = dict(spec.get("kwargs", {}), **variant)
+        log_dir = os.path.join(
+            spec.get("log_dir") or kwargs.get("log_dir", "data/exp"), f"v{i}"
+        )
+        kwargs["log_dir"] = log_dir
+        spec.update(log_dir=log_dir, kwargs=kwargs)
+        paths = make_launch_bundle(spec, bdir, **bundle_kwargs)
+        with open(os.path.join(bdir, "variant.json"), "w") as f:
+            json.dump(variant, f, indent=1, default=str)
+        paths["variant"] = os.path.join(bdir, "variant.json")
+        out.append(paths)
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--spec", help="path to a json spec")

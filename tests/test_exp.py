@@ -610,3 +610,31 @@ def test_launch_bundle_generates_and_executes(tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert os.path.exists(tmp_path / "bundle2" / "launch.sh")
+
+
+def test_fanout_bundles_per_variant(tmp_path):
+    """Cluster scale-out artifacts: a VariantGenerator sweep becomes one
+    executable bundle per variant (instrument.py batch_tasks/launch_ec2
+    role); executing two of them produces independent per-variant logs."""
+    from imitation_from_observation_tpu.exp.run_experiment import (
+        make_fanout_bundles,
+        run_bundle,
+    )
+    from imitation_from_observation_tpu.exp.variants import VariantGenerator
+
+    vg = VariantGenerator().add("seed", [0, 1]).add("scale", [0.1, 1.0])
+    base = dict(launcher="smoke", log_dir=str(tmp_path / "exp"), kwargs={})
+    bundles = make_fanout_bundles(base, vg.variants(), str(tmp_path / "bundles"))
+    assert len(bundles) == 4
+    assert all(os.path.exists(b["launch"]) and os.path.exists(b["variant"]) for b in bundles)
+    with open(bundles[3]["variant"]) as f:
+        assert json.load(f) == {"seed": 1, "scale": 1.0}
+
+    for i in (0, 3):
+        assert run_bundle(os.path.dirname(bundles[i]["launch"])) == 0
+        with open(tmp_path / "exp" / f"v{i}" / "smoke.json") as f:
+            marker = json.load(f)
+        assert marker["ok"]
+    # distinct variants landed in distinct log dirs with their own kwargs
+    with open(tmp_path / "exp" / "v3" / "smoke.json") as f:
+        assert json.load(f)["kwargs"]["scale"] == "1.0"
