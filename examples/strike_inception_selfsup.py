@@ -47,7 +47,9 @@ if os.path.exists(BACKBONE + ".npz"):
     model = InceptionV3(final_endpoint="Mixed_7c")
     import jax.numpy as jnp
 
-    like = model.init(jax.random.key(0), jnp.zeros((1, *HW, 3), jnp.float32))
+    like = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.zeros((1, *HW, 3), jnp.float32))
+    )
     backbone_params = load_pytree(BACKBONE, like)
     print("stage 0: pretrained backbone loaded, skipping")
 else:
