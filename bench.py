@@ -239,11 +239,13 @@ def measure_reward_latency(
     eng.process(make_paths(2))  # steady-state warm call
     # median of 3 timed calls: one process() is a single relay round trip,
     # so a lone sample carries ~relay-jitter-sized noise (observed 0.12 vs
-    # 0.29 ms/step across benches minutes apart)
+    # 0.29 ms/step across benches minutes apart). Inputs are built OUTSIDE
+    # the timed region — path construction is not reward-eval work.
+    batches = [make_paths(s) for s in (3, 4, 5)]
     samples = []
-    for s in (3, 4, 5):
+    for b in batches:
         t0 = time.perf_counter()
-        eng.process(make_paths(s))
+        eng.process(b)
         samples.append(time.perf_counter() - t0)
     host_ms = sorted(samples)[1] / (n_paths * horizon) * 1e3
 
@@ -271,10 +273,16 @@ def measure_reward_latency(
 
     eng.process(make_dev_paths(1))  # compile/warm the device gather + score
     eng.process(make_dev_paths(2))
+    # in production the frame blocks are ALREADY device-resident (raycast
+    # renders on-chip) — build them up front and fence each upload with a
+    # scalar fetch so the timed region measures gather+score only
+    dev_batches = [make_dev_paths(s) for s in (3, 4, 5)]
+    for b in dev_batches:
+        float(jnp.sum(b[0]["frames_dev"][0][0, 0, 0, 0, 0]))
     samples = []
-    for s in (3, 4, 5):
+    for b in dev_batches:
         t0 = time.perf_counter()
-        eng.process(make_dev_paths(s))
+        eng.process(b)
         samples.append(time.perf_counter() - t0)
     dev_ms = sorted(samples)[1] / (n_paths * horizon) * 1e3
     return host_ms, dev_ms
