@@ -43,7 +43,8 @@ for extra, run in (("throw", "throw_full_recipe"), ("real", "real_full_recipe"))
 # per-task context-draw studies (the reference's nvar loop): run dir +
 # subdir prefix; plotted as a mean±std band when >=3 draws exist
 VARIANT_RUNS = {"reach": ("reach_variants", "v"), "push": ("push_variants", "v"),
-                "sweep": ("sweep_variants", "v"), "strike": ("strike_goal_study", "s")}
+                "sweep": ("sweep_variants", "v"), "strike": ("strike_goal_study", "s"),
+                "throw": ("throw_variants", "v"), "real": ("real_variants", "")}
 
 
 def read_col(path: str, col: str) -> np.ndarray:

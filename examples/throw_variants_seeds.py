@@ -1,0 +1,98 @@
+"""Throw visual-RL across context variants — the reference's nvar protocol.
+
+Same design as reach/push/sweep_variants_seeds.py: the reference loops
+``for nvar in range(10)`` drawing a FRESH random context per variant
+(run_trpo_throw.py:62-67: viewpoint uniform over 360 deg plus a random
+goal) and the paper aggregates mean±std across draws. Six fresh draws
+(seeds 10..15) of the RL-only leg against the ALREADY-trained
+throw_full_recipe model + demos, 100 iterations each — closes the
+robustness matrix so every task family has an across-draw row, and tests
+whether the headline throw draw is scene-robust.
+
+Artifacts -> examples/results/throw_variants/v{seed}/ + summary.json.
+"""
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from imitation_from_observation_tpu.core.config import preset
+from imitation_from_observation_tpu.exp.launchers import (
+    run_translation_training,
+    run_visual_trpo,
+    sample_rl_context,
+)
+from imitation_from_observation_tpu.exp.report import done_rows
+
+BASE = os.path.join(os.path.dirname(__file__), "results", "throw_full_recipe")
+LOG = os.path.join(os.path.dirname(__file__), "results", "throw_variants")
+N_TRAIN = 1600
+RL_ITERS = 100
+SEEDS = list(range(10, 16))
+
+# The throw recipe's model checkpoint and vdata cache are not committed
+# artifacts (the 2,000 demo mp4s are): run_translation_training with
+# resume=True rebuilds the dataset from videos/ and retrains the 100k-step
+# model only when the checkpoint is absent, else loads it.
+_ds = preset("throw")
+_ds = _ds.replace(
+    log_dir=BASE,
+    train=_ds.train.replace(n_iters=100_000, n_videos=2000, n_train=N_TRAIN),
+)
+trainer = run_translation_training(
+    _ds, os.path.join(BASE, "videos", "*.mp4"), resume=True
+)
+demo_data = trainer.valid_data
+ck_root = os.path.join(BASE, "translation", "checkpoints")
+ckpt_dir = os.path.join(ck_root, max(os.listdir(ck_root), key=int))
+ckpt = [f[:-4] for f in os.listdir(ckpt_dir) if f.endswith(".npz")][0]
+
+base_cfg = preset("throw")
+summary = {}
+for seed in SEEDS:
+    ctx = sample_rl_context("throw", seed=seed)
+    cfg = base_cfg.replace(
+        name=f"throw_v{seed}",
+        log_dir=os.path.join(LOG, f"v{seed}"),
+        env=base_cfg.env.replace(horizon=50, frame_backend="tpu", **ctx),
+        rl=base_cfg.rl.replace(
+            batch_size=12500, max_path_length=50, n_envs=250, n_iters=RL_ITERS,
+            init_std=10.0, snapshot_mode="none", seed=seed,
+        ),
+        reward=base_cfg.reward.replace(
+            mode="ours", scale=0.1, model_checkpoint=os.path.join(ckpt_dir, ckpt)
+        ),
+    )
+    hist = done_rows(cfg.log_dir, RL_ITERS)  # resume past completed legs
+    if hist is None:
+        # progress.csv appends across runs: clear a crashed partial leg so
+        # the rerun's curve isn't concatenated onto the partial one
+        shutil.rmtree(cfg.log_dir, ignore_errors=True)
+        os.makedirs(cfg.log_dir, exist_ok=True)
+        with open(os.path.join(cfg.log_dir, "variant.json"), "w") as f:
+            json.dump({"variant": seed, "mode": "ours"}, f)
+        _, hist = run_visual_trpo(cfg, demo_data=demo_data)
+    rt = [h["ReturnTrue"] for h in hist]
+    sr = [h["SuccessRate"] for h in hist]
+    summary[f"v{seed}"] = dict(
+        best=max(rt), best_iter=int(np.argmax(rt)), last10=float(np.mean(rt[-10:])),
+        first10=float(np.mean(rt[:10])), max_success=max(sr),
+    )
+    print(f"[v{seed}] first10 {np.mean(rt[:10]):.4f} best {max(rt):.4f} "
+          f"last10 {np.mean(rt[-10:]):.4f} maxSuccess {max(sr):.2f}")
+
+bests = [summary[f"v{s}"]["best"] for s in SEEDS]
+succ = [summary[f"v{s}"]["max_success"] for s in SEEDS]
+impr = [summary[f"v{s}"]["best"] - summary[f"v{s}"]["first10"] for s in SEEDS]
+summary["aggregate"] = dict(
+    best_mean=float(np.mean(bests)), best_std=float(np.std(bests)),
+    success_mean=float(np.mean(succ)), success_std=float(np.std(succ)),
+    improvement_mean=float(np.mean(impr)), improvement_std=float(np.std(impr)),
+)
+with open(os.path.join(LOG, "summary.json"), "w") as f:
+    json.dump(summary, f, indent=1)
+print(json.dumps(summary["aggregate"], indent=1))
