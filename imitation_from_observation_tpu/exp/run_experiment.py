@@ -189,6 +189,45 @@ def run_bundle(bundle_dir: str) -> int:
     return subprocess.call(["bash", os.path.join(bundle_dir, "launch.sh")])
 
 
+def run_bundles(
+    root_dir: str, workers: int = 1, poll: float = 0.2
+) -> dict[str, int]:
+    """Drain every bundle under ``root_dir`` across N worker subprocesses.
+
+    The scheduler half of the reference's ``batch_tasks`` + one-EC2-instance-
+    per-variant fan-out (instrument.py:483-520): each direct child of
+    ``root_dir`` containing a ``launch.sh`` is a unit of work; up to
+    ``workers`` run concurrently, each in its own process (the same
+    share-nothing isolation the reference got from separate machines — here
+    separate hosts would each run ``run_bundle`` on their shard). Returns
+    {bundle_name: returncode} and writes it to ``root_dir/results.json``.
+    """
+    import time
+
+    pending = sorted(
+        d for d in os.listdir(root_dir)
+        if os.path.isfile(os.path.join(root_dir, d, "launch.sh"))
+    )
+    running: dict[str, subprocess.Popen] = {}
+    results: dict[str, int] = {}
+    while pending or running:
+        while pending and len(running) < max(1, workers):
+            name = pending.pop(0)
+            running[name] = subprocess.Popen(
+                ["bash", os.path.join(root_dir, name, "launch.sh")]
+            )
+        for name, proc in list(running.items()):
+            rc = proc.poll()
+            if rc is not None:
+                results[name] = rc
+                del running[name]
+        if running:
+            time.sleep(poll)
+    with open(os.path.join(root_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    return results
+
+
 def make_fanout_bundles(
     base_spec: dict[str, Any],
     variants: list[dict[str, Any]],
@@ -238,14 +277,27 @@ def main(argv=None):
         help="policy checkpoint to restore before training (scripts/resume_training.py capability)",
     )
     p.add_argument(
-        "--mode", choices=("inline", "bundle"), default="inline",
+        "--mode", choices=("inline", "bundle", "drain"), default="inline",
         help="inline: run the spec here; bundle: generate a launch bundle "
-             "(instrument.py local_docker/ec2 role) without executing",
+             "(instrument.py local_docker/ec2 role) without executing; "
+             "drain: execute every bundle under --bundle-root across "
+             "--workers processes (batch_tasks role)",
     )
     p.add_argument("--bundle-dir", help="output dir for --mode bundle")
+    p.add_argument("--bundle-root", help="bundle tree for --mode drain")
+    p.add_argument("--workers", type=int, default=1,
+                   help="concurrent bundle processes for --mode drain")
     p.add_argument("--docker-image", default="imitation-from-observation-tpu:latest")
     p.add_argument("--sync-dest", help="periodic result-sync destination for the bundle")
     args = p.parse_args(argv)
+    if args.mode == "drain":
+        if not args.bundle_root:
+            p.error("--mode drain needs --bundle-root")
+        results = run_bundles(args.bundle_root, workers=args.workers)
+        print(json.dumps(results, indent=1, sort_keys=True))
+        if any(rc != 0 for rc in results.values()):
+            sys.exit(1)
+        return
     if args.spec:
         with open(args.spec) as f:
             spec = json.load(f)

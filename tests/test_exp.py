@@ -638,3 +638,43 @@ def test_fanout_bundles_per_variant(tmp_path):
     # distinct variants landed in distinct log dirs with their own kwargs
     with open(tmp_path / "exp" / "v3" / "smoke.json") as f:
         assert json.load(f)["kwargs"]["scale"] == "1.0"
+
+
+def test_run_bundles_drains_fanout_across_workers(tmp_path):
+    """run_bundles (batch_tasks scheduler role): every bundle under the root
+    executes across N concurrent worker processes, per-bundle returncodes
+    land in results.json, and the CLI drain mode reports the same map."""
+    import subprocess
+    import sys
+
+    from imitation_from_observation_tpu.exp.run_experiment import (
+        make_fanout_bundles,
+        run_bundles,
+    )
+    from imitation_from_observation_tpu.exp.variants import VariantGenerator
+
+    vg = VariantGenerator().add("seed", [0, 1, 2])
+    base = dict(launcher="smoke", log_dir=str(tmp_path / "exp"), kwargs={})
+    root = str(tmp_path / "bundles")
+    make_fanout_bundles(base, vg.variants(), root)
+
+    results = run_bundles(root, workers=2)
+    assert results == {"v0": 0, "v1": 0, "v2": 0}
+    for i in range(3):
+        with open(tmp_path / "exp" / f"v{i}" / "smoke.json") as f:
+            assert json.load(f)["ok"]
+    with open(os.path.join(root, "results.json")) as f:
+        assert json.load(f) == {"v0": 0, "v1": 0, "v2": 0}
+
+    # CLI drain mode over a fresh fanout; exit code reflects the rc map
+    make_fanout_bundles(base, vg.variants(), str(tmp_path / "bundles2"))
+    out = subprocess.run(
+        [sys.executable, "-m", "imitation_from_observation_tpu.exp.run_experiment",
+         "--mode", "drain", "--bundle-root", str(tmp_path / "bundles2"),
+         "--workers", "3"],
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr
+    assert json.loads(out.stdout[out.stdout.index("{"):]) == {
+        "v0": 0, "v1": 0, "v2": 0,
+    }
