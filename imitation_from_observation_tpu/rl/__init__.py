@@ -1,6 +1,7 @@
 from imitation_from_observation_tpu.rl.baselines import LinearFeatureBaseline, ZeroBaseline
 from imitation_from_observation_tpu.rl.gae import discount_cumsum, process_paths
 from imitation_from_observation_tpu.rl.policy import GaussianMLPPolicy
+from imitation_from_observation_tpu.rl.device_rollout import DeviceSampler
 from imitation_from_observation_tpu.rl.sampler import VectorizedSampler, rollout
 from imitation_from_observation_tpu.rl.trpo import TRPO
 from imitation_from_observation_tpu.rl.vpg import VPG
@@ -53,6 +54,7 @@ __all__ = [
     "discount_cumsum",
     "process_paths",
     "GaussianMLPPolicy",
+    "DeviceSampler",
     "VectorizedSampler",
     "rollout",
     "TRPO",

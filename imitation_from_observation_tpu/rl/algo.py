@@ -28,6 +28,7 @@ class BatchPolopt:
         log_dir: str | None = None,
         logger: Logger | None = None,
         record_video_every: int = 0,  # gym-monitor-style eval recordings
+        sampler=None,  # custom obtain_samples() source (e.g. DeviceSampler)
     ):
         self.vec_env = vec_env
         self.policy = policy
@@ -39,7 +40,7 @@ class BatchPolopt:
         self.snapshots = SnapshotManager(
             (log_dir or "data") + "/snapshots", config.snapshot_mode, config.snapshot_gap
         )
-        self.sampler = VectorizedSampler(
+        self.sampler = sampler or VectorizedSampler(
             vec_env, policy, config.batch_size, config.max_path_length, seed=config.seed
         )
         self.record_video_every = record_video_every
