@@ -402,6 +402,32 @@ def measure_raycast_fps(batch: int = 250, hw: int = 48, iters: int = 20) -> floa
     return batch * iters / max(dt - dt1, 1e-9)
 
 
+def measure_device_rollout_sps(
+    batch: int = 12_500, horizon: int = 100, iters: int = 3
+) -> float:
+    """Fully on-device rollout sampling (rl/device_rollout.py): consumed
+    sample-batch steps/s on cartpole at the reach-recipe batch size. Each
+    sample is ONE device program (policy + dynamics + auto-reset in a scan)
+    plus one host fetch; the fetch is part of the sampler's real cost, so
+    wall-clock per obtain_samples (median of ``iters`` after warmup) is the
+    honest number — the host transfer itself forces device sync, so the
+    relay's non-blocking block_until_ready is not a hazard here."""
+    from imitation_from_observation_tpu.rl.device_rollout import DeviceSampler
+    from imitation_from_observation_tpu.rl.policy import GaussianMLPPolicy
+
+    pol = GaussianMLPPolicy(obs_dim=4, action_dim=1, hidden=(32, 32), init_std=10.0, seed=0)
+    sampler = DeviceSampler(
+        "cartpole", pol, batch_size=batch, max_path_length=horizon, seed=0
+    )
+    sampler.obtain_samples()  # compile + warm
+    walls = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        sampler.obtain_samples()
+        walls.append(time.perf_counter() - t0)
+    return batch / sorted(walls)[len(walls) // 2]
+
+
 def measure_bf16_psnr(hw: int = 48, batch: int = 4) -> float | None:
     """PSNR (dB) of the bf16-params translate (the production scoring dtype)
     vs the f32-params translate with identical weights/inputs — the parity
@@ -547,6 +573,11 @@ def _main_gated(max_wait: float) -> None:
     except Exception as e:
         print(f"raycast bench unavailable: {type(e).__name__}: {e}", file=sys.stderr)
         raycast_fps = None
+    try:
+        device_rollout_sps = round(measure_device_rollout_sps(), 1)
+    except Exception as e:
+        print(f"device rollout bench unavailable: {type(e).__name__}: {e}", file=sys.stderr)
+        device_rollout_sps = None
     psnr = measure_psnr_parity()
     bf16_psnr = measure_bf16_psnr()
     result = {
@@ -559,6 +590,7 @@ def _main_gated(max_wait: float) -> None:
         "train_steps_per_sec": train_sps,
         "train_steps_per_sec_bf16": train_sps_bf16,
         "raycast_frames_per_sec": raycast_fps,
+        "device_rollout_steps_per_sec": device_rollout_sps,
         "frame_psnr_parity_db": psnr,
         "frame_psnr_bf16_params_db": None if bf16_psnr is None else round(bf16_psnr, 1),
     }
