@@ -263,11 +263,26 @@ def main() -> None:
         "a scalar-azimuth config duplicated the camera, see its NOTES);",
         "sweep at 300 iterations plateaus at -0.78, isolating reward-signal",
         "quality rather than RL budget as its gap (`sweep_full_recipe/",
-        "rl_300/`). Throw with strong self-trained demos replaces the",
-        "reference's weak expert (-3.42 demo level) — see",
-        "`throw_strong_expert/` when present.",
+        "rl_300/`).",
         "",
     ]
+    tse = os.path.join(RES, "throw_strong_expert", "summary.json")
+    if os.path.isfile(tse):
+        with open(tse) as f:
+            ts = json.load(f)
+        throw_fr_best = next(
+            (f"{r['ours_best']:.3f}" for r in rows if r["task"] == "throw"), "-2.228"
+        )
+        lines += [
+            "Throw with self-trained demos (same pinned context as the",
+            "full recipe; the self-trained expert plateaus at the reference",
+            f"expert's level, demos {ts['demo_mean_return_true']:.3f} vs",
+            f"{ts['reference_expert_demo_level']:.3f}): visual best",
+            f"**{ts['visual']['best']:.3f}** @ itr {ts['visual']['best_iter']}",
+            f"with a rising curve, vs {throw_fr_best} (flat) on the",
+            "reference expert's demos (`throw_strong_expert/NOTES.md`).",
+            "",
+        ]
     nvp2 = os.path.join(RES, "push_full_recipe", "rl_nvp2", "summary.json")
     if os.path.isfile(nvp2):
         with open(nvp2) as f:
