@@ -10,7 +10,10 @@ and tabular logging (:196-203).
 TPU-first differences: one jitted, donated-argument train step; batches are
 sharded over the mesh ``data`` axis with replicated params, so XLA emits the
 gradient all-reduce over ICI (the reference trained single-GPU); eval and the
-all-pairs nn_err matrix run under the same jit.
+all-pairs nn_err matrix run under the same jit. On a 2D ``(data, model)``
+mesh (``parallel.make_mesh_2d``) params additionally shard Megatron-style
+over the ``model`` axis (``parallel/tp.py``) — tensor parallelism for the
+153M-param ContextFeat variant the reference could never have scaled.
 """
 
 from __future__ import annotations
@@ -30,7 +33,14 @@ from imitation_from_observation_tpu.core.config import TrainConfig, TranslationM
 from imitation_from_observation_tpu.core.log import Logger, get_logger
 from imitation_from_observation_tpu.models import build_model, translation_loss
 from imitation_from_observation_tpu.ops.pallas import pairwise_sqdist
-from imitation_from_observation_tpu.parallel import make_mesh, replicated, shard_batch
+from imitation_from_observation_tpu.parallel import (
+    data_axis_size,
+    make_mesh,
+    model_axis_size,
+    replicated,
+    shard_batch,
+    shard_params,
+)
 from imitation_from_observation_tpu.video.dataset import PairSampler
 from imitation_from_observation_tpu.video.io import save_gif
 
@@ -91,8 +101,11 @@ class TranslationTrainer:
         self.log = logger or get_logger(log_dir)
         self.log_dir = log_dir or "model"
         self.mesh = mesh if mesh is not None else make_mesh()
-        n_dev = self.mesh.devices.size
-        # round batch up to the mesh size so shards are equal
+        # a 2D (data, model) mesh (parallel/tp.py) tensor-parallels the
+        # params; batches shard over the data axis only
+        self._tp = model_axis_size(self.mesh) > 1
+        n_dev = data_axis_size(self.mesh, train_cfg.data_axis)
+        # round batch up to the data-axis size so shards are equal
         self.batch_size = -(-train_cfg.batch_size // n_dev) * n_dev
         self.model = build_model(model_cfg)
         if vdata.ndim != 5:
@@ -148,8 +161,16 @@ class TranslationTrainer:
         if self._has_dropout:
             rngs["dropout"] = jax.random.key(self.cfg.seed + 1)
         params = self.model.init(rngs, sample, sample, sample)
-        opt_state = self.tx.init(params)
         rep = replicated(self.mesh)
+        if self._tp:
+            # tensor-parallel: params carry Megatron-style leaf shardings
+            # (parallel/tp.py); the jitted optax init propagates them onto
+            # the mirrored Adam moments, so no opt-state spec tree is needed
+            params = shard_params(self.mesh, params)
+            opt_state = jax.jit(self.tx.init)(params)
+            step = jax.device_put(jnp.zeros((), jnp.int32), rep)
+            return TrainState(params, opt_state, step)
+        opt_state = self.tx.init(params)
         # step must carry the same replicated sharding as the rest of the
         # state: an unsharded scalar here makes the fused step's SECOND call
         # recompile (~27 s on TPU) because the returned state comes back
