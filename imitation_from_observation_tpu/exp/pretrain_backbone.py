@@ -98,7 +98,13 @@ def pretrain_inception_time(
     state = {"params": params, "head": head}
     opt_state = tx.init(state)
 
-    # device-resident uint8 training frames; batches gather + decode in-step
+    # device-resident uint8 training frames; batches gather + decode in-step.
+    # MUST be a jit ARGUMENT, not a closure capture: a closed-over array is
+    # baked into the program as a constant and ships in the relay's compile
+    # request body, which is size-bounded — 60 demos at 299x299 (~420 MB)
+    # gets HTTP 413 from /remote_compile (observed live; cf. the reward
+    # engine's IFO_TPU_MAX_BAKED_PARAM_MB fallback and train/trainer.py,
+    # which passes its device dataset as an argument for the same reason)
     data = jnp.asarray(frames_u8[:, :n_train])
 
     def logits_fn(p, frames):
@@ -112,7 +118,7 @@ def pretrain_inception_time(
         acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
         return jnp.mean(ce), acc
 
-    def one_step(state, opt_state, step):
+    def one_step(state, opt_state, step, data):
         key = jax.random.fold_in(jax.random.key(seed + 2), step)
         kt, kn = jax.random.split(key)
         ts = jax.random.randint(kt, (batch,), 0, T)
@@ -128,16 +134,16 @@ def pretrain_inception_time(
     K = max(1, min(steps_per_call, n_steps))
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def train_steps(state, opt_state, step0):
+    def train_steps(state, opt_state, step0, data):
         def body(carry, i):
-            s, o, _, _ = one_step(carry[0], carry[1], step0 + i)
+            s, o, _, _ = one_step(carry[0], carry[1], step0 + i, data)
             return (s, o), None
 
         (state, opt_state), _ = jax.lax.scan(body, (state, opt_state), jnp.arange(K))
         return state, opt_state
 
     @jax.jit
-    def probe_metrics(state, step):
+    def probe_metrics(state, step, data):
         key = jax.random.fold_in(jax.random.key(seed + 2), step)
         kt, kn = jax.random.split(key)
         ts = jax.random.randint(kt, (batch,), 0, T)
@@ -150,9 +156,9 @@ def pretrain_inception_time(
     total = -(-n_steps // K) * K  # round UP — never silently under-train
     log_calls = max(1, log_every // K)
     for call, step0 in enumerate(range(0, total, K)):
-        state, opt_state = train_steps(state, opt_state, jnp.asarray(step0))
+        state, opt_state = train_steps(state, opt_state, jnp.asarray(step0), data)
         if (call + 1) % log_calls == 0 or step0 + K >= total:
-            loss_d, acc_d = probe_metrics(state, jnp.asarray(step0 + K))
+            loss_d, acc_d = probe_metrics(state, jnp.asarray(step0 + K), data)
             loss, acc = float(loss_d), float(acc_d)
             log.log(f"pretrain {step0 + K}/{total} ce={loss:.3f} acc={acc:.3f}")
     train_s = time.perf_counter() - t0

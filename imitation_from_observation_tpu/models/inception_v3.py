@@ -93,143 +93,177 @@ def _B(*specs):
 
 
 class InceptionV3(nn.Module):
-    """`features(x)` -> endpoint dict; `__call__(x)` -> (logits, endpoints)."""
+    """`features(x)` -> endpoint dict; `__call__(x)` -> (logits, endpoints).
+
+    The trunk is expressed as an ordered sequence of named endpoint ops
+    (:meth:`_trunk_ops`) so contiguous SEGMENTS can run independently:
+    ``apply(params, h, start_after=A, features_only=True)`` treats ``h`` as
+    endpoint ``A``'s activation and executes only the ops after it — the
+    basis for pipeline-parallel execution (``parallel/pp.py``), where each
+    mesh ``pipe`` stage owns one segment's params. Module names are explicit,
+    so a segment's parameter names are identical to the full run's.
+    """
 
     num_classes: int = 1001
     min_depth: int = 16
     final_endpoint: str = "Mixed_7c"
 
-    @nn.compact
-    def __call__(self, x, *, features_only: bool = False):
-        ep: dict[str, Any] = {}
+    def _trunk_ops(self):
+        """Ordered [(endpoint_name, fn)] for the whole trunk. fns create
+        their submodules lazily (explicit names), so skipping ops never
+        perturbs the parameter tree of the ops that do run."""
 
-        def add(name, val):
-            ep[name] = val
-            return name == self.final_endpoint
+        def conv(name, f, k, s, p):
+            return name, lambda net: ConvBN(f, k, s, p, name=name)(net)
 
-        # -- stem ----------------------------------------------------------
-        net = ConvBN(32, (3, 3), 2, "VALID", name="Conv2d_1a_3x3")(x)
-        add("Conv2d_1a_3x3", net)
-        net = ConvBN(32, (3, 3), 1, "VALID", name="Conv2d_2a_3x3")(net)
-        add("Conv2d_2a_3x3", net)
-        net = ConvBN(64, (3, 3), 1, "SAME", name="Conv2d_2b_3x3")(net)
-        add("Conv2d_2b_3x3", net)
-        net = _maxpool(net)
-        add("MaxPool_3a_3x3", net)
-        net = ConvBN(80, (1, 1), 1, "VALID", name="Conv2d_3b_1x1")(net)
-        add("Conv2d_3b_1x1", net)
-        net = ConvBN(192, (3, 3), 1, "VALID", name="Conv2d_4a_3x3")(net)
-        add("Conv2d_4a_3x3", net)
-        net = _maxpool(net)
-        add("MaxPool_5a_3x3", net)
+        def pool(name):
+            return name, _maxpool
 
-        # -- 35x35 inception-A blocks (Mixed_5b/5c/5d) ----------------------
-        for name, pool_proj in [("Mixed_5b", 32), ("Mixed_5c", 64), ("Mixed_5d", 64)]:
-            b0 = _Branch(_B((64, (1, 1), 1, "SAME", "Conv2d_0a_1x1")), name=f"{name}/Branch_0")(net)
+        def block_a(name, pool_proj):
+            def fn(net):
+                b0 = _Branch(_B((64, (1, 1), 1, "SAME", "Conv2d_0a_1x1")), name=f"{name}/Branch_0")(net)
+                b1 = _Branch(
+                    _B((48, (1, 1), 1, "SAME", "Conv2d_0a_1x1"), (64, (5, 5), 1, "SAME", "Conv2d_0b_5x5")),
+                    name=f"{name}/Branch_1",
+                )(net)
+                b2 = _Branch(
+                    _B(
+                        (64, (1, 1), 1, "SAME", "Conv2d_0a_1x1"),
+                        (96, (3, 3), 1, "SAME", "Conv2d_0b_3x3"),
+                        (96, (3, 3), 1, "SAME", "Conv2d_0c_3x3"),
+                    ),
+                    name=f"{name}/Branch_2",
+                )(net)
+                b3 = _Branch(
+                    _B((pool_proj, (1, 1), 1, "SAME", "Conv2d_0b_1x1")), name=f"{name}/Branch_3"
+                )(_avgpool(net))
+                return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+            return name, fn
+
+        def block_6a(net):  # 35x35 -> 17x17 reduction
+            b0 = _Branch(_B((384, (3, 3), 2, "VALID", "Conv2d_1a_1x1")), name="Mixed_6a/Branch_0")(net)
             b1 = _Branch(
-                _B((48, (1, 1), 1, "SAME", "Conv2d_0a_1x1"), (64, (5, 5), 1, "SAME", "Conv2d_0b_5x5")),
-                name=f"{name}/Branch_1",
-            )(net)
-            b2 = _Branch(
                 _B(
                     (64, (1, 1), 1, "SAME", "Conv2d_0a_1x1"),
                     (96, (3, 3), 1, "SAME", "Conv2d_0b_3x3"),
-                    (96, (3, 3), 1, "SAME", "Conv2d_0c_3x3"),
+                    (96, (3, 3), 2, "VALID", "Conv2d_1a_1x1"),
                 ),
-                name=f"{name}/Branch_2",
+                name="Mixed_6a/Branch_1",
             )(net)
-            b3 = _Branch(
-                _B((pool_proj, (1, 1), 1, "SAME", "Conv2d_0b_1x1")), name=f"{name}/Branch_3"
-            )(_avgpool(net))
-            net = jnp.concatenate([b0, b1, b2, b3], axis=-1)
-            add(name, net)
+            return jnp.concatenate([b0, b1, _maxpool(net)], axis=-1)
 
-        # -- Mixed_6a: 35x35 -> 17x17 reduction -----------------------------
-        b0 = _Branch(_B((384, (3, 3), 2, "VALID", "Conv2d_1a_1x1")), name="Mixed_6a/Branch_0")(net)
-        b1 = _Branch(
-            _B(
-                (64, (1, 1), 1, "SAME", "Conv2d_0a_1x1"),
-                (96, (3, 3), 1, "SAME", "Conv2d_0b_3x3"),
-                (96, (3, 3), 2, "VALID", "Conv2d_1a_1x1"),
-            ),
-            name="Mixed_6a/Branch_1",
-        )(net)
-        b2 = _maxpool(net)
-        net = jnp.concatenate([b0, b1, b2], axis=-1)
-        add("Mixed_6a", net)
+        def block_b(name, mid):
+            def fn(net):
+                b0 = _Branch(_B((192, (1, 1), 1, "SAME", "Conv2d_0a_1x1")), name=f"{name}/Branch_0")(net)
+                b1 = _Branch(
+                    _B(
+                        (mid, (1, 1), 1, "SAME", "Conv2d_0a_1x1"),
+                        (mid, (1, 7), 1, "SAME", "Conv2d_0b_1x7"),
+                        (192, (7, 1), 1, "SAME", "Conv2d_0c_7x1"),
+                    ),
+                    name=f"{name}/Branch_1",
+                )(net)
+                b2 = _Branch(
+                    _B(
+                        (mid, (1, 1), 1, "SAME", "Conv2d_0a_1x1"),
+                        (mid, (7, 1), 1, "SAME", "Conv2d_0b_7x1"),
+                        (mid, (1, 7), 1, "SAME", "Conv2d_0c_1x7"),
+                        (mid, (7, 1), 1, "SAME", "Conv2d_0d_7x1"),
+                        (192, (1, 7), 1, "SAME", "Conv2d_0e_1x7"),
+                    ),
+                    name=f"{name}/Branch_2",
+                )(net)
+                b3 = _Branch(
+                    _B((192, (1, 1), 1, "SAME", "Conv2d_0b_1x1")), name=f"{name}/Branch_3"
+                )(_avgpool(net))
+                return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
-        # -- 17x17 inception-B blocks (Mixed_6b..6e) ------------------------
-        for name, mid in [("Mixed_6b", 128), ("Mixed_6c", 160), ("Mixed_6d", 160), ("Mixed_6e", 192)]:
-            b0 = _Branch(_B((192, (1, 1), 1, "SAME", "Conv2d_0a_1x1")), name=f"{name}/Branch_0")(net)
+            return name, fn
+
+        def block_7a(net):  # 17x17 -> 8x8 reduction
+            b0 = _Branch(
+                _B((192, (1, 1), 1, "SAME", "Conv2d_0a_1x1"), (320, (3, 3), 2, "VALID", "Conv2d_1a_3x3")),
+                name="Mixed_7a/Branch_0",
+            )(net)
             b1 = _Branch(
                 _B(
-                    (mid, (1, 1), 1, "SAME", "Conv2d_0a_1x1"),
-                    (mid, (1, 7), 1, "SAME", "Conv2d_0b_1x7"),
+                    (192, (1, 1), 1, "SAME", "Conv2d_0a_1x1"),
+                    (192, (1, 7), 1, "SAME", "Conv2d_0b_1x7"),
                     (192, (7, 1), 1, "SAME", "Conv2d_0c_7x1"),
+                    (192, (3, 3), 2, "VALID", "Conv2d_1a_3x3"),
                 ),
-                name=f"{name}/Branch_1",
+                name="Mixed_7a/Branch_1",
             )(net)
-            b2 = _Branch(
-                _B(
-                    (mid, (1, 1), 1, "SAME", "Conv2d_0a_1x1"),
-                    (mid, (7, 1), 1, "SAME", "Conv2d_0b_7x1"),
-                    (mid, (1, 7), 1, "SAME", "Conv2d_0c_1x7"),
-                    (mid, (7, 1), 1, "SAME", "Conv2d_0d_7x1"),
-                    (192, (1, 7), 1, "SAME", "Conv2d_0e_1x7"),
-                ),
-                name=f"{name}/Branch_2",
-            )(net)
-            b3 = _Branch(
-                _B((192, (1, 1), 1, "SAME", "Conv2d_0b_1x1")), name=f"{name}/Branch_3"
-            )(_avgpool(net))
-            net = jnp.concatenate([b0, b1, b2, b3], axis=-1)
-            add(name, net)
+            return jnp.concatenate([b0, b1, _maxpool(net)], axis=-1)
 
-        # -- Mixed_7a: 17x17 -> 8x8 reduction -------------------------------
-        b0 = _Branch(
-            _B((192, (1, 1), 1, "SAME", "Conv2d_0a_1x1"), (320, (3, 3), 2, "VALID", "Conv2d_1a_3x3")),
-            name="Mixed_7a/Branch_0",
-        )(net)
-        b1 = _Branch(
-            _B(
-                (192, (1, 1), 1, "SAME", "Conv2d_0a_1x1"),
-                (192, (1, 7), 1, "SAME", "Conv2d_0b_1x7"),
-                (192, (7, 1), 1, "SAME", "Conv2d_0c_7x1"),
-                (192, (3, 3), 2, "VALID", "Conv2d_1a_3x3"),
-            ),
-            name="Mixed_7a/Branch_1",
-        )(net)
-        b2 = _maxpool(net)
-        net = jnp.concatenate([b0, b1, b2], axis=-1)
-        add("Mixed_7a", net)
+        def block_c(name):
+            def fn(net):
+                b0 = _Branch(_B((320, (1, 1), 1, "SAME", "Conv2d_0a_1x1")), name=f"{name}/Branch_0")(net)
+                b1_in = ConvBN(384, (1, 1), 1, "SAME", name=f"{name}/Branch_1/Conv2d_0a_1x1")(net)
+                b1 = jnp.concatenate(
+                    [
+                        ConvBN(384, (1, 3), 1, "SAME", name=f"{name}/Branch_1/Conv2d_0b_1x3")(b1_in),
+                        ConvBN(384, (3, 1), 1, "SAME", name=f"{name}/Branch_1/Conv2d_0b_3x1")(b1_in),
+                    ],
+                    axis=-1,
+                )
+                b2_in = _Branch(
+                    _B((448, (1, 1), 1, "SAME", "Conv2d_0a_1x1"), (384, (3, 3), 1, "SAME", "Conv2d_0b_3x3")),
+                    name=f"{name}/Branch_2",
+                )(net)
+                b2 = jnp.concatenate(
+                    [
+                        ConvBN(384, (1, 3), 1, "SAME", name=f"{name}/Branch_2/Conv2d_0c_1x3")(b2_in),
+                        ConvBN(384, (3, 1), 1, "SAME", name=f"{name}/Branch_2/Conv2d_0d_3x1")(b2_in),
+                    ],
+                    axis=-1,
+                )
+                b3 = _Branch(
+                    _B((192, (1, 1), 1, "SAME", "Conv2d_0b_1x1")), name=f"{name}/Branch_3"
+                )(_avgpool(net))
+                return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
-        # -- 8x8 inception-C blocks (Mixed_7b, Mixed_7c) --------------------
-        for name in ["Mixed_7b", "Mixed_7c"]:
-            b0 = _Branch(_B((320, (1, 1), 1, "SAME", "Conv2d_0a_1x1")), name=f"{name}/Branch_0")(net)
-            b1_in = ConvBN(384, (1, 1), 1, "SAME", name=f"{name}/Branch_1/Conv2d_0a_1x1")(net)
-            b1 = jnp.concatenate(
-                [
-                    ConvBN(384, (1, 3), 1, "SAME", name=f"{name}/Branch_1/Conv2d_0b_1x3")(b1_in),
-                    ConvBN(384, (3, 1), 1, "SAME", name=f"{name}/Branch_1/Conv2d_0b_3x1")(b1_in),
-                ],
-                axis=-1,
-            )
-            b2_in = _Branch(
-                _B((448, (1, 1), 1, "SAME", "Conv2d_0a_1x1"), (384, (3, 3), 1, "SAME", "Conv2d_0b_3x3")),
-                name=f"{name}/Branch_2",
-            )(net)
-            b2 = jnp.concatenate(
-                [
-                    ConvBN(384, (1, 3), 1, "SAME", name=f"{name}/Branch_2/Conv2d_0c_1x3")(b2_in),
-                    ConvBN(384, (3, 1), 1, "SAME", name=f"{name}/Branch_2/Conv2d_0d_3x1")(b2_in),
-                ],
-                axis=-1,
-            )
-            b3 = _Branch(
-                _B((192, (1, 1), 1, "SAME", "Conv2d_0b_1x1")), name=f"{name}/Branch_3"
-            )(_avgpool(net))
-            net = jnp.concatenate([b0, b1, b2, b3], axis=-1)
-            add(name, net)
+            return name, fn
+
+        return [
+            # -- stem --------------------------------------------------------
+            conv("Conv2d_1a_3x3", 32, (3, 3), 2, "VALID"),
+            conv("Conv2d_2a_3x3", 32, (3, 3), 1, "VALID"),
+            conv("Conv2d_2b_3x3", 64, (3, 3), 1, "SAME"),
+            pool("MaxPool_3a_3x3"),
+            conv("Conv2d_3b_1x1", 80, (1, 1), 1, "VALID"),
+            conv("Conv2d_4a_3x3", 192, (3, 3), 1, "VALID"),
+            pool("MaxPool_5a_3x3"),
+            # -- 35x35 inception-A blocks ------------------------------------
+            block_a("Mixed_5b", 32),
+            block_a("Mixed_5c", 64),
+            block_a("Mixed_5d", 64),
+            ("Mixed_6a", block_6a),
+            # -- 17x17 inception-B blocks ------------------------------------
+            block_b("Mixed_6b", 128),
+            block_b("Mixed_6c", 160),
+            block_b("Mixed_6d", 160),
+            block_b("Mixed_6e", 192),
+            ("Mixed_7a", block_7a),
+            # -- 8x8 inception-C blocks --------------------------------------
+            block_c("Mixed_7b"),
+            block_c("Mixed_7c"),
+        ]
+
+    @nn.compact
+    def __call__(self, x, *, features_only: bool = False, start_after: str | None = None):
+        ep: dict[str, Any] = {}
+        net = x
+        started = start_after is None
+        for name, fn in self._trunk_ops():
+            if not started:
+                started = name == start_after
+                continue
+            net = fn(net)
+            ep[name] = net
+            if name == self.final_endpoint:
+                break
 
         if features_only:
             return ep

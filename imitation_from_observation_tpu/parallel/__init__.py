@@ -4,6 +4,10 @@ from imitation_from_observation_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from imitation_from_observation_tpu.parallel.pp import (
+    InceptionPipeline,
+    make_mesh_pipe,
+)
 from imitation_from_observation_tpu.parallel.tp import (
     context_param_specs,
     data_axis_size,
@@ -22,4 +26,6 @@ __all__ = [
     "shard_params",
     "model_axis_size",
     "data_axis_size",
+    "InceptionPipeline",
+    "make_mesh_pipe",
 ]
