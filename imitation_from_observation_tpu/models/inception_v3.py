@@ -256,14 +256,24 @@ class InceptionV3(nn.Module):
         ep: dict[str, Any] = {}
         net = x
         started = start_after is None
+        ran = False
         for name, fn in self._trunk_ops():
             if not started:
                 started = name == start_after
                 continue
             net = fn(net)
             ep[name] = net
+            ran = True
             if name == self.final_endpoint:
                 break
+        if not ran:
+            # a typo'd start_after would otherwise silently skip the trunk
+            names = [n for n, _ in self._trunk_ops()]
+            raise ValueError(
+                f"no ops ran: start_after={start_after!r} / "
+                f"final_endpoint={self.final_endpoint!r} select an empty "
+                f"segment of {names}"
+            )
 
         if features_only:
             return ep

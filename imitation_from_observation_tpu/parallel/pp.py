@@ -52,15 +52,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DEFAULT_BOUNDARIES = ("MaxPool_5a_3x3", "Mixed_6a", "Mixed_6e")
 
 
-def make_mesh_pipe(stages: int, n_devices: int | None = None) -> Mesh:
-    """A 1D ``(pipe,)`` mesh over the first ``stages`` (or n_devices) devices."""
+def make_mesh_pipe(stages: int) -> Mesh:
+    """A 1D ``(pipe,)`` mesh over the first ``stages`` devices."""
     devices = jax.devices()
-    n = stages if n_devices is None else n_devices
-    if len(devices) < n:
-        raise ValueError(f"need {n} devices, have {len(devices)}")
-    if n != stages:
-        raise ValueError(f"pipe mesh size {n} must equal stage count {stages}")
-    return Mesh(np.asarray(devices[:n]), ("pipe",))
+    if len(devices) < stages:
+        raise ValueError(f"need {stages} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:stages]), ("pipe",))
 
 
 class InceptionPipeline:

@@ -30,10 +30,13 @@ metadata: the models themselves are unchanged, and a ``model``-axis size of 1
 degenerates to the data-parallel layout.
 
 On real multi-chip TPU slices the fused Pallas kernels (``ops/pallas``) do
-not auto-partition under GSPMD — set ``IFO_TPU_PALLAS=0`` (their documented
-kill-switch) so the tensor-parallel path uses the XLA fallbacks, which
-partition freely. The CPU-mesh dryrun/test path does this implicitly
-(``pallas_enabled()`` is False off-TPU).
+not auto-partition under GSPMD — the trainer detects a tensor-parallel mesh
+and sets ``IFO_TPU_PALLAS=0`` (their documented kill-switch) itself, so the
+tp path uses the XLA fallbacks, which partition freely. Note this is
+process-global: later non-tp trainers in the same process also fall back
+(matching behavior, ~2% slower encoder — see docs/BENCHMARKS.md kernel
+A/B). The CPU-mesh dryrun/test path needs nothing (``pallas_enabled()`` is
+False off-TPU).
 """
 
 from __future__ import annotations

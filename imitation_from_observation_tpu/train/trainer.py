@@ -104,6 +104,20 @@ class TranslationTrainer:
         # a 2D (data, model) mesh (parallel/tp.py) tensor-parallels the
         # params; batches shard over the data axis only
         self._tp = model_axis_size(self.mesh) > 1
+        if self._tp:
+            from imitation_from_observation_tpu.ops.pallas import pallas_enabled
+
+            if pallas_enabled():
+                # the fused Pallas kernels do not auto-partition under GSPMD
+                # (tp.py module doc); force their XLA fallbacks for the
+                # tensor-parallel path rather than failing at compile
+                import os
+
+                os.environ["IFO_TPU_PALLAS"] = "0"
+                self.log.log(
+                    "tensor-parallel mesh: disabling Pallas kernels "
+                    "(IFO_TPU_PALLAS=0) — XLA fallbacks partition under GSPMD"
+                )
         n_dev = data_axis_size(self.mesh, train_cfg.data_axis)
         # round batch up to the data-axis size so shards are equal
         self.batch_size = -(-train_cfg.batch_size // n_dev) * n_dev
@@ -278,7 +292,9 @@ class TranslationTrainer:
 
     # -- loop ---------------------------------------------------------------
     def _device_batch(self, batch):
-        return shard_batch(self.mesh, tuple(jnp.asarray(b) for b in batch))
+        return shard_batch(
+            self.mesh, tuple(jnp.asarray(b) for b in batch), axis=self.cfg.data_axis
+        )
 
     def train(self, n_iters: int | None = None) -> TrainState:
         cfg = self.cfg
