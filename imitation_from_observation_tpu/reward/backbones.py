@@ -28,13 +28,20 @@ def make_inception_feature_fn(
     input_size: tuple[int, int] | None = None,
     seed: int = 0,
     chunk: int = 64,
+    pipeline_mesh=None,
 ):
     """Build a jitted ``uint8 frames [B, H, W, 3] -> features`` function.
 
     Calls are processed in fixed ``chunk``-frame slices (last slice padded —
     ONE compiled shape): at 299x299 the early-layer activations are ~10 MB
     per frame, so an unchunked RL scoring batch (P*T = 1,250 frames) would
-    blow HBM; 64-frame programs are the proven-working featurize shape."""
+    blow HBM; 64-frame programs are the proven-working featurize shape.
+
+    ``pipeline_mesh``: a ``(pipe,)`` mesh (``parallel.make_mesh_pipe``) runs
+    the backbone pipeline-parallel instead — stage-sharded params, chunks
+    streamed as GPipe microbatches (``parallel/pp.py``). Requires
+    ``input_size`` (the pipeline compiles per static shape) and
+    ``layer='Mixed_7c'``-style trunk endpoints."""
     model = InceptionV3(final_endpoint=layer)
     if params is None:
         size = input_size or (299, 299)
@@ -44,6 +51,26 @@ def make_inception_feature_fn(
             params = load_tf_slim_npz(npz_path, like)
         else:
             params = model.init(jax.random.key(seed), x)
+
+    if pipeline_mesh is not None:
+        from imitation_from_observation_tpu.parallel.pp import InceptionPipeline
+
+        if input_size is None:
+            raise ValueError("pipeline_mesh requires input_size (static shapes)")
+        pipe = InceptionPipeline(
+            model, params, input_hw=tuple(input_size),
+            final_endpoint=layer, mesh=pipeline_mesh,
+            micro_batch=min(chunk, 8),
+        )
+
+        def pipeline_feature_fn(frames_u8):
+            import numpy as np
+
+            # preprocess_uint8's formula, host-side (pp pads/reshapes on host)
+            x = np.asarray(frames_u8).astype(np.float32) / 255.0 * 2.0 - 1.0
+            return pipe.features(x)
+
+        return pipeline_feature_fn
 
     @jax.jit
     def _chunk_fn(frames_u8):

@@ -78,6 +78,24 @@ def test_pipeline_matches_sequential(pipeline, model_params):
     assert rel < 1e-4, rel
 
 
+def test_feature_fn_pipeline_mesh_matches_jit_path():
+    """make_inception_feature_fn(pipeline_mesh=...) — the production
+    featurization entry — agrees with the monolithic jitted path."""
+    from imitation_from_observation_tpu.reward.backbones import make_inception_feature_fn
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (5, HW, HW, 3), np.uint8)
+    plain = make_inception_feature_fn(input_size=(HW, HW), seed=0, chunk=8)
+    piped = make_inception_feature_fn(
+        input_size=(HW, HW), seed=0, chunk=8, pipeline_mesh=make_mesh_pipe(4)
+    )
+    want = np.asarray(plain(frames))
+    got = np.asarray(piped(frames))
+    assert got.shape == want.shape
+    atol = 1e-4 * float(np.abs(want).max())
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=atol)
+
+
 def test_pipeline_backward_flows_to_every_stage(pipeline):
     """jax.grad through the GPipe scan: ppermute/switch/psum transpose —
     every stage's param row receives nonzero gradient."""
