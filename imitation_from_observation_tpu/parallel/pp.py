@@ -52,12 +52,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DEFAULT_BOUNDARIES = ("MaxPool_5a_3x3", "Mixed_6a", "Mixed_6e")
 
 
-def make_mesh_pipe(stages: int) -> Mesh:
-    """A 1D ``(pipe,)`` mesh over the first ``stages`` devices."""
+def make_mesh_pipe(stages: int, data: int = 1) -> Mesh:
+    """A ``(pipe,)`` mesh over the first ``stages`` devices — or, with
+    ``data > 1``, a 2D ``(data, pipe)`` mesh of ``data`` independent
+    pipelines (pipe laid minor so stage hops ride adjacent-device ICI)."""
     devices = jax.devices()
-    if len(devices) < stages:
-        raise ValueError(f"need {stages} devices, have {len(devices)}")
-    return Mesh(np.asarray(devices[:stages]), ("pipe",))
+    n = stages * data
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    if data == 1:
+        return Mesh(np.asarray(devices[:n]), ("pipe",))
+    return Mesh(np.asarray(devices[:n]).reshape(data, stages), ("data", "pipe"))
 
 
 class InceptionPipeline:
@@ -95,6 +100,12 @@ class InceptionPipeline:
         psize = dict(self.mesh.shape).get("pipe")
         if psize != self.S:
             raise ValueError(f"mesh pipe axis {psize} != {self.S} stages")
+        # a 2D (data, pipe) mesh runs `data` independent pipelines, each over
+        # its shard of the microbatches (dp x pp — the production
+        # featurization shape). Differentiating apply() is supported on the
+        # 1D mesh (training pp); on 2D the stage buffer is replicated over
+        # `data` and check_vma=False skips the transpose psum.
+        self._dsize = dict(self.mesh.shape).get("data", 1)
         self.mB = micro_batch
         self.dtype = jnp.dtype(compute_dtype)
         starts = (None,) + boundaries
@@ -208,28 +219,37 @@ class InceptionPipeline:
             outs = jax.lax.psum(outs, "pipe")  # broadcast the result off stage S-1
             return outs[..., : self._a_out].reshape(n_micro, mB, *self.out_shape)
 
+        # 2D mesh: microbatches shard over `data`, each row pipelines its own
+        data_spec = P("data") if self._dsize > 1 else P()
         return jax.jit(
             shard_map(
-                inner, mesh=self.mesh, in_specs=(P("pipe"), P()), out_specs=P(),
-                check_vma=False,
+                inner, mesh=self.mesh, in_specs=(P("pipe"), data_spec),
+                out_specs=data_spec, check_vma=False,
             )
         )
 
     def apply(self, param_buf, x_micros):
-        """Differentiable pipelined forward: ``[n_micro, mB, h, w, 3]`` ->
+        """Pipelined forward: ``[n_micro, mB, h, w, 3]`` ->
         ``[n_micro, mB, *out_shape]``. ``param_buf`` is the stacked ``[S, L]``
-        stage buffer (``self.param_buf`` or an optimizer-updated copy)."""
+        stage buffer (``self.param_buf`` or an optimizer-updated copy).
+        Differentiable on a 1D pipe mesh; on a 2D ``(data, pipe)`` mesh
+        ``n_micro`` must divide the data axis and the path is forward-only
+        (see ``__init__`` note)."""
         n_micro = int(x_micros.shape[0])
-        if n_micro not in self._run_cache:
-            self._run_cache[n_micro] = self._build(n_micro)
-        return self._run_cache[n_micro](param_buf, x_micros)
+        if n_micro % self._dsize:
+            raise ValueError(f"n_micro={n_micro} not divisible by data={self._dsize}")
+        n_local = n_micro // self._dsize
+        if n_local not in self._run_cache:
+            self._run_cache[n_local] = self._build(n_local)
+        return self._run_cache[n_local](param_buf, x_micros)
 
     def features(self, frames) -> np.ndarray:
         """[N, h, w, 3] float in [-1, 1] -> [N, *out_shape] (host convenience:
-        pads N up to a whole number of microbatches)."""
+        pads N up to a whole number of microbatches per data row)."""
         frames = np.asarray(frames, np.float32)
         N = frames.shape[0]
-        n_micro = -(-N // self.mB)
+        n_micro = -(-N // self.mB)  # ceil: whole microbatches
+        n_micro = -(-n_micro // self._dsize) * self._dsize  # per data row
         pad = n_micro * self.mB - N
         if pad:
             frames = np.concatenate([frames, np.zeros((pad, *frames.shape[1:]), frames.dtype)])

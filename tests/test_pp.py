@@ -78,6 +78,25 @@ def test_pipeline_matches_sequential(pipeline, model_params):
     assert rel < 1e-4, rel
 
 
+def test_pipeline_2d_data_x_pipe(pipeline, model_params):
+    """dp x pp composition: a (data=2, pipe=4) mesh runs two independent
+    pipelines over their microbatch shards — same features, half the ticks
+    per row."""
+    model, params = model_params
+    mesh2 = make_mesh_pipe(4, data=2)
+    pipe2 = InceptionPipeline(
+        model, params, input_hw=(HW, HW), mesh=mesh2, micro_batch=2
+    )
+    rng = np.random.default_rng(4)
+    frames = rng.uniform(-1, 1, (7, HW, HW, 3)).astype(np.float32)  # pads to 4 micros
+    got = pipe2.features(frames)
+    want = np.asarray(model.apply(params, jnp.asarray(frames), features_only=True)["Mixed_7c"])
+    atol = 1e-4 * float(np.abs(want).max())
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=atol)
+    # the stage buffer shards over pipe and replicates over data
+    assert {s.data.shape[0] for s in pipe2.param_buf.addressable_shards} == {1}
+
+
 def test_feature_fn_pipeline_mesh_matches_jit_path():
     """make_inception_feature_fn(pipeline_mesh=...) — the production
     featurization entry — agrees with the monolithic jitted path."""
