@@ -150,8 +150,26 @@ def run_strike_inception(
     feature_fn = lambda x: raw_feature_fn(x) / feat_rms
 
     # -- stage 3: ContextFeat training in feature space ----------------------
+    # resume is only valid when the existing checkpoint was trained at the
+    # SAME feature-scale anchor: a checkpoint trained on differently-scaled
+    # features (different backbone/demo set under the same log_dir) would
+    # silently mis-score every reward. The anchor is recorded in a sidecar.
+    anchor_path = os.path.join(log_dir, "translation", "feat_anchor.json")
+    resume = False
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            prev_rms = float(json.load(f)["feat_rms"])
+        resume = abs(prev_rms - feat_rms) <= 1e-6 * max(prev_rms, feat_rms)
+        if not resume:
+            print(
+                f"stage 3: checkpoint anchor rms={prev_rms:.6g} != current "
+                f"{feat_rms:.6g} — retraining from scratch"
+            )
     t0 = time.time()
-    trainer = run_translation_training(cfg, video_glob="", vdata=feat_vdata, resume=True)
+    trainer = run_translation_training(cfg, video_glob="", vdata=feat_vdata, resume=resume)
+    os.makedirs(os.path.dirname(anchor_path), exist_ok=True)
+    with open(anchor_path, "w") as f:
+        json.dump({"feat_rms": feat_rms}, f)
     timings["translation_s"] = round(time.time() - t0, 1)
 
     # -- stage 4: TRPO with oursinception reward ------------------------------

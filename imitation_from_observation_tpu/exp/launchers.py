@@ -49,9 +49,21 @@ def ensure_vdata(log_dir: str, cfg: ExperimentConfig):
     (same decode order/seed -> same array)."""
     path = os.path.join(log_dir, "translation", "vdata.npy")
     if os.path.exists(path):
-        import numpy as np
+        from imitation_from_observation_tpu.video.dataset import (
+            load_vdata_cache,
+            vdata_build_params,
+        )
 
-        return np.load(path, mmap_mode="r")
+        cached = load_vdata_cache(
+            path,
+            vdata_build_params(
+                cfg.train.n_videos, cfg.env.horizon + 1, cfg.train.n_skip,
+                cfg.model.image_size, cfg.train.rescale, cfg.train.seed,
+            ),
+            mmap_mode="r",
+        )
+        if cached is not None:
+            return cached
     return build_video_dataset(
         os.path.join(log_dir, "videos", "*.mp4"),
         image_size=cfg.model.image_size,

@@ -178,18 +178,33 @@ def pretrain_inception_time(
         steps_per_sec=round(n_steps / max(train_s, 1e-9), 2),
     )
     if n_valid_videos:
-        eval_fn = jax.jit(loss_fn)
+        @jax.jit
+        def eval_batch(state, frames, labels):
+            logits = logits_fn(state, frames)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+            hit = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+            return ce, hit
+
         vi = np.repeat(np.arange(n_train, N), T)
         vt = np.tile(np.arange(T), n_valid_videos)
-        ces, accs = [], []
+        # pad the index lists to a whole number of batches so eval_batch keeps
+        # ONE compiled shape (a ragged final batch would recompile the whole
+        # 299x299 backbone, ~80-110 s on TPU, to score a handful of frames);
+        # per-example outputs let the host drop the pad rows exactly
+        n_real = len(vi)
+        pad = (-n_real) % batch
+        if pad:
+            vi = np.concatenate([vi, vi[:pad]])
+            vt = np.concatenate([vt, vt[:pad]])
+        ces, hits = [], []
         for s in range(0, len(vi), batch):
             idx_n, idx_t = vi[s : s + batch], vt[s : s + batch]
             frames = preprocess_uint8(jnp.asarray(frames_u8[idx_t, idx_n])).astype(comp)
-            ce, a = eval_fn(state, frames, jnp.asarray(idx_t))
-            ces.append(float(ce) * len(idx_n))
-            accs.append(float(a) * len(idx_n))
-        metrics["valid_ce"] = sum(ces) / len(vi)
-        metrics["valid_acc"] = sum(accs) / len(vi)
+            ce, hit = eval_batch(state, frames, jnp.asarray(idx_t))
+            ces.append(np.asarray(ce))
+            hits.append(np.asarray(hit))
+        metrics["valid_ce"] = float(np.concatenate(ces)[:n_real].mean())
+        metrics["valid_acc"] = float(np.concatenate(hits)[:n_real].mean())
         log.log(
             f"pretrain valid: ce={metrics['valid_ce']:.3f} "
             f"acc={metrics['valid_acc']:.3f} (chance {1.0 / T:.3f})"

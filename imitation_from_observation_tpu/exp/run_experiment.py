@@ -114,29 +114,45 @@ def make_launch_bundle(
     Returns the path map. Execution: :func:`run_bundle` locally; the docker/
     cloud paths are generation-only in this image (no docker, no cloud).
     """
+    import shlex
+
     os.makedirs(bundle_dir, exist_ok=True)
     code_dir = os.path.abspath(
         code_dir or os.path.join(os.path.dirname(__file__), "..", "..")
     )
+    # pin the log dir to an ABSOLUTE path inside the spec: a relative one
+    # would resolve against the worker's cwd at run time while the sync
+    # block below resolves it against the generator's cwd — the runner and
+    # the result sync would silently target different directories
+    spec = json.loads(json.dumps(spec, default=str))  # private copy
     log_dir = spec.get("log_dir") or spec.get("kwargs", {}).get("log_dir", "data/exp")
+    log_dir = os.path.abspath(log_dir)
+    if "log_dir" in spec:
+        spec["log_dir"] = log_dir
+    if "log_dir" in spec.get("kwargs", {}):
+        spec["kwargs"]["log_dir"] = log_dir
     spec_path = os.path.join(bundle_dir, "spec.json")
     with open(spec_path, "w") as f:
         json.dump(spec, f, indent=2, default=str)
 
     env = dict(env or {})
     env.setdefault("PYTHONPATH", code_dir)
-    exports = "\n".join(f"export {k}={json.dumps(v)}" for k, v in sorted(env.items()))
+    # shlex.quote (single quotes): $, backticks, backslashes in values must
+    # reach the process literally, not shell-expanded
+    exports = "\n".join(
+        f"export {k}={shlex.quote(str(v))}" for k, v in sorted(env.items())
+    )
     run_cmd = (
-        f"{json.dumps(sys.executable)} -m imitation_from_observation_tpu.exp.run_experiment "
-        f"--spec {json.dumps(os.path.abspath(spec_path))}"
+        f"{shlex.quote(sys.executable)} -m imitation_from_observation_tpu.exp.run_experiment "
+        f"--spec {shlex.quote(os.path.abspath(spec_path))}"
     )
     sync_block = ""
     if sync_dest:
         # periodic sync loop + final sync on termination; cp -ru is the
         # in-image stand-in for the reference's `aws s3 sync` (no rsync/aws)
         sync_block = f"""
-SYNC_SRC={json.dumps(os.path.abspath(log_dir))}
-SYNC_DEST={json.dumps(os.path.abspath(sync_dest))}
+SYNC_SRC={shlex.quote(log_dir)}
+SYNC_DEST={shlex.quote(os.path.abspath(sync_dest))}
 sync_results() {{ mkdir -p "$SYNC_DEST" && cp -ru "$SYNC_SRC/." "$SYNC_DEST/" 2>/dev/null || true; }}
 ( while sleep {int(periodic_sync_interval)}; do sync_results; done ) &
 SYNC_PID=$!
@@ -154,13 +170,15 @@ set -u
     os.chmod(launch_path, 0o755)
 
     docker_path = os.path.join(bundle_dir, "docker_cmd.sh")
-    env_flags = " ".join(f"-e {k}={json.dumps(v)}" for k, v in sorted(env.items()))
+    env_flags = " ".join(
+        f"-e {k}={shlex.quote(str(v))}" for k, v in sorted(env.items())
+    )
     with open(docker_path, "w") as f:
         f.write(f"""#!/bin/bash
 # to_docker_command equivalent (instrument.py mode='local_docker'); this
 # image has no docker binary — run on a host that does, or use launch.sh
-docker run --rm -v {json.dumps(code_dir)}:/code -w /code {env_flags} \\
-  {docker_image} bash {json.dumps(os.path.abspath(launch_path))}
+docker run --rm -v {shlex.quote(code_dir)}:/code -w /code {env_flags} \\
+  {docker_image} bash {shlex.quote(os.path.abspath(launch_path))}
 """)
     os.chmod(docker_path, 0o755)
 
@@ -203,6 +221,16 @@ def run_bundles(
     {bundle_name: returncode} and writes it to ``root_dir/results.json``.
     """
     import time
+
+    if workers > 1 and os.environ.get("IFO_TPU_ALLOW_CONCURRENT") != "1":
+        # two processes sharing this image's single TPU relay serialize and
+        # corrupt each other's timings (CLAUDE.md); concurrent drain is for
+        # multi-host/CPU fleets. Opt in explicitly when that's where you are.
+        get_logger().log(
+            f"run_bundles: clamping workers {workers} -> 1 (single shared "
+            "TPU relay; set IFO_TPU_ALLOW_CONCURRENT=1 on a real fleet)"
+        )
+        workers = 1
 
     pending = sorted(
         d for d in os.listdir(root_dir)

@@ -64,6 +64,14 @@ class ConvBN(nn.Module):
         axes = tuple(range(y.ndim - 1))
         self.sow("bn_stats", "mean", jnp.mean(y, axes), reduce_fn=lambda _, b: b)
         self.sow("bn_stats", "var", jnp.var(y, axes), reduce_fn=lambda _, b: b)
+        # stored stats are STATISTICS, not trainable parameters: the reference
+        # always runs the backbone is_training=False with restored stats
+        # (base.py:77-78), and the pretext trainer (exp/pretrain_backbone.py)
+        # takes grads over the whole param tree — without the stop_gradient,
+        # Adam would drift the stats (calibrated by calibrate_bn) and a
+        # near-floor variance could be pushed below -1e-3, NaN'ing rsqrt
+        mean = jax.lax.stop_gradient(mean)
+        var = jax.lax.stop_gradient(var)
         y = (y - mean) * jax.lax.rsqrt(var + 1e-3) + beta
         return nn.relu(y).astype(x.dtype)
 

@@ -65,10 +65,18 @@ def _pack_device_data(data: np.ndarray) -> tuple[np.ndarray, bool]:
     """
     if data.dtype != np.float32:
         return data, False
-    u8 = np.rint((data + np.float32(1.0)) * np.float32(127.5)).astype(np.uint8)
-    if np.max(np.abs(u8.astype(np.float32) / np.float32(127.5) - np.float32(1.0) - data)) < 1e-6:
-        return u8, True
-    return data, False
+    # chunk the encode + exactness check over the leading axis: whole-array
+    # temporaries would transiently cost ~2x the dataset in host RAM (the f32
+    # push_4k dataset is 5.5 GB; its decode temp another 5.5 GB)
+    u8 = np.empty(data.shape, np.uint8)
+    for t in range(data.shape[0]):
+        u8[t] = np.rint((data[t] + np.float32(1.0)) * np.float32(127.5)).astype(np.uint8)
+        err = np.max(
+            np.abs(u8[t].astype(np.float32) / np.float32(127.5) - np.float32(1.0) - data[t])
+        )
+        if err >= 1e-6:
+            return data, False
+    return u8, True
 
 
 def nn_err_metric(tgt: jax.Array, out: jax.Array, nlen: int) -> jax.Array:

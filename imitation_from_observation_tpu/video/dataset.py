@@ -21,6 +21,47 @@ from imitation_from_observation_tpu.video.io import VideoDecodeError, decode_vid
 from imitation_from_observation_tpu.video.preprocess import transform
 
 
+def load_vdata_cache(cache_path: str, build_params: dict, mmap_mode=None):
+    """Load a cached vdata array ONLY when it matches ``build_params``.
+
+    A cache written under different n_videos/image_size/n_skip would
+    silently feed a mismatched dataset downstream. Params live in a sidecar
+    ``<cache>.params.json``; legacy caches without one are checked on shape
+    alone. Returns None (caller rebuilds) on mismatch or missing file.
+    """
+    if not os.path.exists(cache_path):
+        return None
+    cached = np.load(cache_path, mmap_mode=mmap_mode)
+    nlen_want = (build_params["video_len"] - 1 + build_params["n_skip"] - 1) // build_params["n_skip"]
+    ok = cached.shape[0] == nlen_want and cached.shape[2:4] == tuple(build_params["image_size"])
+    meta_path = cache_path + ".params.json"
+    if ok and os.path.exists(meta_path):
+        import json as _json
+
+        with open(meta_path) as f:
+            ok = _json.load(f) == build_params
+    elif ok:
+        ok = cached.shape[1] <= build_params["n_videos"]
+    if ok:
+        return cached
+    get_logger().log(
+        f"vdata cache {cache_path} shape {cached.shape} does not match "
+        f"build params {build_params} — rebuilding"
+    )
+    return None
+
+
+def vdata_build_params(
+    n_videos: int, video_len: int, n_skip: int, image_size, rescale: bool, seed: int
+) -> dict:
+    """The canonical cache-validation params dict (see load_vdata_cache)."""
+    return dict(
+        n_videos=int(n_videos), video_len=int(video_len), n_skip=int(n_skip),
+        image_size=[int(s) for s in image_size], rescale=bool(rescale),
+        seed=int(seed),
+    )
+
+
 def build_video_dataset(
     pattern: str,
     image_size: tuple[int, int],
@@ -34,8 +75,11 @@ def build_video_dataset(
 ) -> np.ndarray:
     """Build ``vdata[T, N, H, W, C]`` from demo videos matching ``pattern``."""
     log = get_logger()
+    build_params = vdata_build_params(n_videos, video_len, n_skip, image_size, rescale, seed)
     if cache_path and os.path.exists(cache_path):
-        return np.load(cache_path)
+        cached = load_vdata_cache(cache_path, build_params)
+        if cached is not None:
+            return cached
     files = sorted(globlib.glob(pattern))
     rng = np.random.default_rng(seed)
     rng.shuffle(files)
@@ -73,8 +117,12 @@ def build_video_dataset(
     dtype = np.float32 if rescale else np.uint8
     vdata = np.asarray(idata, dtype=dtype)
     if cache_path:
+        import json as _json
+
         os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
         np.save(cache_path, vdata)
+        with open(cache_path + ".params.json", "w") as f:
+            _json.dump(build_params, f)
     return vdata
 
 
