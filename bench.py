@@ -72,6 +72,7 @@ _PROBE_CODE = (
 # live step to finish before measuring.
 BENCH_REQUEST = "/tmp/bench_request"
 QUEUE_ACTIVE = "/tmp/queue_step_active"
+YIELDED = "/tmp/relay_yielded"
 
 
 def _queue_step_running() -> bool:
@@ -84,12 +85,26 @@ def _queue_step_running() -> bool:
         return False  # absent, unreadable, or stale (runner died mid-step)
 
 
+def _queue_step_yielded() -> bool:
+    # a long-running step that saw BENCH_REQUEST parks itself and advertises
+    # /tmp/relay_yielded (core/relay_coord.py) — the relay is then exclusively
+    # ours even though the step's QUEUE_ACTIVE sentinel is still up. It stays
+    # parked while our BENCH_REQUEST pid-file is live, i.e. for this whole run.
+    try:
+        with open(YIELDED) as f:
+            pid = int(f.read().strip())
+        os.kill(pid, 0)
+        return True
+    except (OSError, ValueError):
+        return False
+
+
 def wait_for_queue_idle(max_wait_s: float) -> bool:
-    """Wait for any in-flight queue step to finish; True if the relay is
-    exclusively ours."""
+    """Wait for any in-flight queue step to finish or cooperatively yield;
+    True if the relay is exclusively ours."""
     deadline = time.time() + max_wait_s
     first = True
-    while _queue_step_running():
+    while _queue_step_running() and not _queue_step_yielded():
         if first:
             print("bench: waiting for a running queue step...", file=sys.stderr)
             first = False
@@ -545,7 +560,7 @@ def _main_gated(max_wait: float) -> None:
         contended = False
     else:
         contended = (
-            _queue_step_running()
+            (_queue_step_running() and not _queue_step_yielded())
             if max_wait <= 0
             else not wait_for_queue_idle(max_wait)
         )

@@ -24,6 +24,7 @@ from typing import Any
 import numpy as np
 
 from imitation_from_observation_tpu.core.config import preset
+from imitation_from_observation_tpu.core.relay_coord import hold_for_bench
 from imitation_from_observation_tpu.exp.gen_videos import generate_demo_videos_vec
 from imitation_from_observation_tpu.exp.launchers import (
     run_translation_training,
@@ -127,6 +128,7 @@ def run_strike_inception(
         t0 = time.time()
         feats = []
         for t in range(T):
+            t0 += hold_for_bench()
             feats.append(np.asarray(feature_fn(frames[t]), np.float32))
         feat_vdata = np.stack(feats)  # [T, N, 8, 8, 2048]
         timings["featurize_s"] = round(time.time() - t0, 1)

@@ -12,6 +12,7 @@ from __future__ import annotations
 from imitation_from_observation_tpu.core.checkpoint import SnapshotManager
 from imitation_from_observation_tpu.core.config import RLConfig
 from imitation_from_observation_tpu.core.log import Logger, get_logger
+from imitation_from_observation_tpu.core.relay_coord import hold_for_bench
 from imitation_from_observation_tpu.rl.gae import pad_paths_recurrent, process_paths
 from imitation_from_observation_tpu.rl.sampler import VectorizedSampler
 
@@ -52,6 +53,9 @@ class BatchPolopt:
     def train(self, n_iters: int | None = None) -> list[dict[str, float]]:
         history = []
         for itr in range(n_iters if n_iters is not None else self.cfg.n_iters):
+            # hand the relay to a waiting bench between iterations (an RL
+            # iteration is seconds; a full leg is minutes-to-hours)
+            hold_for_bench()
             with self.log.prefix(f"itr #{itr} | "):
                 with self.log.timed("Sample"):
                     paths, timings = self.sampler.obtain_samples()

@@ -31,6 +31,7 @@ import optax
 from imitation_from_observation_tpu.core.checkpoint import save_pytree
 from imitation_from_observation_tpu.core.config import TrainConfig, TranslationModelConfig
 from imitation_from_observation_tpu.core.log import Logger, get_logger
+from imitation_from_observation_tpu.core.relay_coord import hold_for_bench
 from imitation_from_observation_tpu.models import build_model, translation_loss
 from imitation_from_observation_tpu.ops.pallas import pairwise_sqdist
 from imitation_from_observation_tpu.parallel import (
@@ -320,6 +321,9 @@ class TranslationTrainer:
             return itr // every > (itr - K) // every
 
         for itr in range(K, total + 1, K):
+            # hand the relay to a waiting bench at the call boundary (a fused
+            # call is seconds long; a 100k-step run is hours — see relay_coord)
+            t0 += hold_for_bench()
             if cfg.on_device_data:
                 self.state, metrics = self._train_step_dev(self.state, self._train_data_dev)
             else:
