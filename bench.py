@@ -110,7 +110,7 @@ def wait_for_queue_idle(max_wait_s: float) -> bool:
             first = False
         if time.time() >= deadline:
             return False
-        time.sleep(30)
+        time.sleep(5)  # cooperative steps park within seconds — poll fast
     return True
 
 
@@ -517,11 +517,40 @@ def cpu_baseline() -> float:
     return fps
 
 
+def _stale_line(error: str) -> dict:
+    """A parseable fallback record carrying the last clean measurement.
+
+    The driver treats a bench that exits non-zero/hangs as "no round record"
+    (round 4: rc=124 behind a relay outage). A dead relay must instead
+    produce ONE valid JSON line: last-good values, clearly flagged
+    ``stale: true`` with the failure reason, so the record degrades instead
+    of disappearing.
+    """
+    line = {
+        "metric": "translated_frames_per_sec_per_chip",
+        "value": None,
+        "unit": "frames/s",
+        "vs_baseline": None,
+    }
+    if os.path.exists(LAST_GOOD):
+        try:
+            with open(LAST_GOOD) as f:
+                line.update(json.load(f))
+        except (OSError, ValueError):
+            pass
+    line["stale"] = True
+    line["error"] = error
+    return line
+
+
 def main() -> None:
-    # Gate on relay health (default: wait up to 1h, override via
-    # BENCH_RELAY_MAX_WAIT seconds; 0 skips the probe entirely). If the relay
-    # never comes back, emit an explicit-null JSON line rather than hanging.
-    max_wait = float(os.environ.get("BENCH_RELAY_MAX_WAIT", "3600"))
+    # Gate on relay health (default: wait up to 10 min, override via
+    # BENCH_RELAY_MAX_WAIT seconds; 0 skips the probe entirely). The wait is
+    # deliberately short: the driver's own timeout is the hard ceiling, and a
+    # stale-but-parseable line beats a timeout (round 4's rc=124). If the
+    # relay never comes back — or dies mid-measurement — emit the last-good
+    # values flagged stale rather than hanging or crashing.
+    max_wait = float(os.environ.get("BENCH_RELAY_MAX_WAIT", "600"))
     try:
         with open(BENCH_REQUEST, "w") as f:
             f.write(str(os.getpid()))
@@ -529,6 +558,8 @@ def main() -> None:
         pass
     try:
         _main_gated(max_wait)
+    except Exception as e:  # relay death mid-measure, OOM, anything
+        print(json.dumps(_stale_line(f"bench crashed mid-run: {type(e).__name__}: {e}")))
     finally:
         try:
             os.remove(BENCH_REQUEST)
@@ -538,31 +569,29 @@ def main() -> None:
 
 def _main_gated(max_wait: float) -> None:
     if max_wait > 0 and not wait_for_tpu(max_wait):
-        null_line = {
-            "metric": "translated_frames_per_sec_per_chip",
-            "value": None,
-            "unit": "frames/s",
-            "vs_baseline": None,
-            "error": "TPU relay unhealthy for the full bench wait "
-            f"window ({max_wait:.0f}s); see CLAUDE.md relay-death note",
-        }
-        if os.path.exists(LAST_GOOD):
-            with open(LAST_GOOD) as f:
-                null_line["last_good"] = json.load(f)
-        print(json.dumps(null_line))
+        print(json.dumps(_stale_line(
+            "TPU relay unhealthy for the full bench wait "
+            f"window ({max_wait:.0f}s); see CLAUDE.md relay-death note"
+        )))
         return
     # even with the relay gate disabled (max_wait=0), a concurrent queue step
     # still serializes the relay — check once so corrupted timings are at
     # least labeled and never cached as last-good. BENCH_AS_QUEUE_STEP=1 is
     # set when bench itself runs AS a queue step: the active-sentinel then
     # belongs to this very run, so waiting on it would deadlock.
+    # The idle wait is short and independent of max_wait: a cooperative step
+    # parks within one fused call (~seconds — see core/relay_coord.py and
+    # tools/drill_handoff.py's measured bound); anything still running after
+    # BENCH_QUEUE_IDLE_WAIT is non-cooperative, and a contended-but-real
+    # measurement beats timing out.
     if os.environ.get("BENCH_AS_QUEUE_STEP"):
         contended = False
     else:
+        idle_wait = float(os.environ.get("BENCH_QUEUE_IDLE_WAIT", "300"))
         contended = (
             (_queue_step_running() and not _queue_step_yielded())
             if max_wait <= 0
-            else not wait_for_queue_idle(max_wait)
+            else not wait_for_queue_idle(idle_wait)
         )
     fps = measure()
     try:

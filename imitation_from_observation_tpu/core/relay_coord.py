@@ -19,7 +19,16 @@ idle-wait treats a live yield sentinel as "queue idle" (bench.py
 
 Liveness mirrors the stale-pid rule used everywhere else (run_queue.sh,
 bench.py ``_queue_step_running``): a sentinel whose recorded pid is gone is
-garbage from an unclean death and is ignored/removed.
+garbage from an unclean death — :func:`_live_pid_file` deletes it on sight
+(same as run_queue.sh's ``rm -f``) so it cannot linger until the next park.
+
+Parking is only honest if the relay is actually quiet: trainers dispatch
+fused jit calls asynchronously and only sync on metrics at log/eval
+crossings, so multi-second queued executions can still be draining when the
+loop reaches the park point. Callers therefore pass ``drain`` — a callback
+that fetches one scalar from the last dispatched result (the only reliable
+sync on the axon relay; ``block_until_ready`` is not, see CLAUDE.md) —
+which runs before the YIELDED sentinel is written.
 
 Reference analogue: none — the reference ran one experiment per machine
 (rllab/misc/instrument.py); single-chip relay sharing is unique to this
@@ -37,19 +46,35 @@ YIELDED = os.environ.get("RELAY_YIELDED", "/tmp/relay_yielded")
 
 
 def _live_pid_file(path: str) -> bool:
-    """True iff ``path`` exists and records a pid that is still alive."""
+    """True iff ``path`` exists and records a pid that is still alive.
+
+    A file recording a confirmed-dead pid is debris from an unclean death;
+    it is deleted here (idempotent — a racing unlink is fine) so stale
+    sentinels cannot outlive their owners.
+    """
     try:
         with open(path) as f:
             pid = int(f.read().strip())
-    except (OSError, ValueError):
+    except OSError:
+        return False
+    except ValueError:
+        _remove_quiet(path)  # unparseable: never a live owner
         return False
     try:
         os.kill(pid, 0)
-    except (ProcessLookupError, PermissionError):
+    except ProcessLookupError:
+        _remove_quiet(path)
         return False
-    except OSError:
+    except OSError:  # PermissionError: alive but foreign — leave it
         return False
     return True
+
+
+def _remove_quiet(path: str) -> None:
+    try:
+        os.remove(path)
+    except OSError:
+        pass
 
 
 def bench_requested() -> bool:
@@ -62,7 +87,7 @@ def queue_yielded() -> bool:
     return _live_pid_file(YIELDED)
 
 
-def hold_for_bench(poll_s: float = 5.0) -> float:
+def hold_for_bench(poll_s: float = 5.0, drain=None) -> float:
     """Park while a live bench holds the relay; return seconds waited.
 
     Call once per host-side loop iteration in any long-running device loop.
@@ -70,10 +95,21 @@ def hold_for_bench(poll_s: float = 5.0) -> float:
     parked, advertises ``YIELDED`` with this pid so bench can start; the
     sentinel is removed on resume. Timing loops should subtract the returned
     wait from their wall-clock measurements.
+
+    ``drain``: callback that synchronizes any async device work this loop
+    dispatched (fetch one scalar from the last result — see module
+    docstring). It runs BEFORE the YIELDED sentinel is written, so bench
+    never measures against a relay still executing our queued calls. Only
+    invoked when actually parking, so it costs nothing in the common path.
     """
     if not os.path.exists(BENCH_REQUEST) or not bench_requested():
         return 0.0
     t0 = time.perf_counter()
+    if drain is not None:
+        try:
+            drain()
+        except Exception:
+            pass  # a failed drain must not take the training loop down
     try:
         with open(YIELDED, "w") as f:
             f.write(str(os.getpid()))

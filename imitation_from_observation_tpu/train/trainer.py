@@ -320,15 +320,22 @@ class TranslationTrainer:
             # documents; reduces to itr % every == 0 when K == 1)
             return itr // every > (itr - K) // every
 
+        pending = None  # metrics of the last dispatched (possibly in-flight) call
         for itr in range(K, total + 1, K):
             # hand the relay to a waiting bench at the call boundary (a fused
-            # call is seconds long; a 100k-step run is hours — see relay_coord)
-            t0 += hold_for_bench()
+            # call is seconds long; a 100k-step run is hours — see relay_coord).
+            # The fused calls are dispatched async and only sync at log/eval
+            # crossings; drain one scalar first so bench never starts while
+            # our queued executions are still on the relay.
+            t0 += hold_for_bench(
+                drain=None if pending is None else lambda: float(pending["loss"])
+            )
             if cfg.on_device_data:
                 self.state, metrics = self._train_step_dev(self.state, self._train_data_dev)
             else:
                 src, ctx, tgt = self._device_batch(self.train_sampler.sample())
                 self.state, metrics = self._train_step(self.state, src, ctx, tgt)
+            pending = metrics
             if crossed(itr, cfg.log_every):
                 m = {k: float(v) for k, v in metrics.items()}
                 self.log.log(

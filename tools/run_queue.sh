@@ -60,7 +60,7 @@ transient() {  # transient <logfile> <bytes-before> <rc> — is this failure ret
   [ "$3" -ge 124 ] && return 0
   # relay-outage signatures in the region THIS attempt appended
   tail -c +"$(($2 + 1))" "$1" 2>/dev/null | grep -qE \
-    "UNAVAILABLE|DEADLINE_EXCEEDED|Socket closed|failed to connect|Connection reset|connection error|timed out"
+    "UNAVAILABLE|DEADLINE_EXCEEDED|Socket closed|failed to connect|Connection reset|connection error|timed out|remote_compile|response body closed|JaxRuntimeError: INTERNAL"
 }
 
 run() {  # run <logfile> <cmd...> — gate on relay health + bench
