@@ -148,8 +148,12 @@ def run_strike_inception(
     assert np.isfinite(feat_rms) and feat_rms > 0, f"degenerate Mixed_7c scale {feat_rms}"
     print(f"Mixed_7c scale: rms={feat_rms:.4g} max|f|={np.abs(feat_vdata).max():.4g}")
     feat_vdata = (feat_vdata / feat_rms).astype(np.float32)
-    raw_feature_fn = feature_fn
-    feature_fn = lambda x: raw_feature_fn(x) / feat_rms
+    # rebuild with the anchor FUSED into the jit (a lambda wrapper would hide
+    # chunk_fn and force the engine back onto the host feature round trip)
+    feature_fn = make_inception_feature_fn(
+        layer="Mixed_7c", params=feature_fn.params, input_size=hw,
+        out_scale=1.0 / feat_rms,
+    )
 
     # -- stage 3: ContextFeat training in feature space ----------------------
     # resume is only valid when the existing checkpoint was trained at the

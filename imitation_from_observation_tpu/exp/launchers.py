@@ -141,12 +141,13 @@ def _vec_env(cfg: ExperimentConfig, render: bool):
             env_kw.replace(seed=cfg.rl.seed),
             max_path_length=cfg.rl.max_path_length,
             frame_backend="tpu" if cfg.env.frame_backend == "tpu" else "egl",
-            # mode "ours" scores frames on device — keep them resident from
-            # raycast render to reward splice (no host round trip per step)
+            # modes "ours"/"oursinception" score frames on device — keep them
+            # resident from raycast render through (backbone +) reward splice;
+            # at 299x299 the per-step frame fetch alone was ~20 s/iteration
             device_frames=(
                 render
                 and cfg.env.frame_backend == "tpu"
-                and cfg.reward.mode == "ours"
+                and cfg.reward.mode in ("ours", "oursinception")
             ),
         )
 

@@ -29,6 +29,7 @@ def make_inception_feature_fn(
     seed: int = 0,
     chunk: int = 64,
     pipeline_mesh=None,
+    out_scale: float = 1.0,
 ):
     """Build a jitted ``uint8 frames [B, H, W, 3] -> features`` function.
 
@@ -36,6 +37,18 @@ def make_inception_feature_fn(
     ONE compiled shape): at 299x299 the early-layer activations are ~10 MB
     per frame, so an unchunked RL scoring batch (P*T = 1,250 frames) would
     blow HBM; 64-frame programs are the proven-working featurize shape.
+
+    The returned callable also carries ``chunk_fn`` / ``chunk`` attributes:
+    ``chunk_fn`` is the underlying jitted fixed-shape device map (uint8
+    [chunk, H, W, 3] on device -> features ON DEVICE, params baked). The
+    reward engine's device-resident scoring path chains it so RL frames go
+    raycast -> backbone -> translation encoder without ever touching the
+    host — the host path here (uint8 in, np features out) round-trips
+    ~1 MB/frame of Mixed_7c activations over the relay, which at RL scoring
+    scale (1,250+ frames/iteration) was the dominant reward-eval cost.
+
+    ``out_scale`` is fused into the jit (the pipeline's feature-RMS anchor,
+    exp/inception_pipeline.py — a multiply XLA folds into the last op).
 
     ``pipeline_mesh``: a ``(pipe,)`` mesh (``parallel.make_mesh_pipe``) runs
     the backbone pipeline-parallel instead — stage-sharded params, chunks
@@ -68,7 +81,7 @@ def make_inception_feature_fn(
 
             # preprocess_uint8's formula, host-side (pp pads/reshapes on host)
             x = np.asarray(frames_u8).astype(np.float32) / 255.0 * 2.0 - 1.0
-            return pipe.features(x)
+            return pipe.features(x) * out_scale if out_scale != 1.0 else pipe.features(x)
 
         return pipeline_feature_fn
 
@@ -76,7 +89,8 @@ def make_inception_feature_fn(
     def _chunk_fn(frames_u8):
         x = preprocess_uint8(frames_u8)
         ep = model.apply(params, x, features_only=True)
-        return ep[layer]
+        f = ep[layer]
+        return f * jnp.float32(out_scale) if out_scale != 1.0 else f
 
     def feature_fn(frames_u8):
         import numpy as np
@@ -95,6 +109,9 @@ def make_inception_feature_fn(
             outs.append(np.asarray(feature_fn(frames_u8[s : s + chunk])))
         return np.concatenate(outs)
 
+    feature_fn.chunk_fn = _chunk_fn  # device-resident fixed-shape map
+    feature_fn.chunk = chunk
+    feature_fn.params = params  # resolved tree, for scale-anchored rebuilds
     return feature_fn
 
 

@@ -142,23 +142,35 @@ class VisualRewardEngine:
         else:
             params = self.params
 
-        param_bytes = sum(
-            int(np.prod(p.shape)) * jnp.dtype(p.dtype).itemsize
-            for p in jax.tree_util.tree_leaves(params)
-            if hasattr(p, "shape")
-        )
-        max_baked = int(os.environ.get("IFO_TPU_MAX_BAKED_PARAM_MB", "128")) * 2**20
-        bake = param_bytes <= max_baked
+        def _tree_bytes(tree) -> int:
+            return sum(
+                int(np.prod(p.shape)) * jnp.dtype(p.dtype).itemsize
+                for p in jax.tree_util.tree_leaves(tree)
+                if hasattr(p, "shape")
+            )
 
-        def bind(fn):
-            """Close params in as XLA constants (small trees) or pre-bind a
-            device-resident tree passed as the leading jit argument (large
-            trees that would blow the relay's compile-body limit)."""
-            if bake:
-                jitted = jax.jit(lambda *a: fn(params, *a))
-                return jitted
+        max_baked = int(os.environ.get("IFO_TPU_MAX_BAKED_PARAM_MB", "128")) * 2**20
+        params_dev = None  # lazily device_put once, shared by unbaked binds
+
+        def bind(fn, touched=None):
+            """Close params in as XLA constants, or pre-bind a device-resident
+            tree passed as the leading jit argument (trees that would blow the
+            relay's compile-body limit — every call then re-ships the tree).
+
+            The bake decision is per-FUNCTION: only leaves the trace actually
+            references serialize into the compile request, so a method that
+            reads one submodule (``encode`` -> params['params']['conv']) is
+            budgeted by THAT subtree (``touched``), not the full model. For
+            ContextFeat (292 MB bf16 total, unbakeable) this keeps the
+            per-iteration scoring call params-free — pure compute — while
+            only the one-time warmup translate pays the argument re-ship."""
+            nonlocal params_dev
+            t_bytes = _tree_bytes(params if touched is None else touched)
+            if t_bytes <= max_baked:
+                return jax.jit(lambda *a: fn(params, *a))
             jitted = jax.jit(fn)
-            params_dev = jax.device_put(params)
+            if params_dev is None:
+                params_dev = jax.device_put(params)
             return lambda *a: jitted(params_dev, *a)
 
         if hasattr(model, "translate_one_ctx"):
@@ -222,9 +234,16 @@ class VisualRewardEngine:
             err = jnp.sum((out - flat) ** 2, axis=pix_axes).reshape(P, T, V)
             return jnp.sum(err, axis=-1)
 
-        self._params_baked = bake
+        # encode touches only the image-encoder submodule — budget its bake
+        # by that subtree (see bind)
+        enc_tree = None
+        try:
+            enc_tree = params["params"]["conv"]
+        except (TypeError, KeyError, IndexError):
+            pass  # unknown layout: bind falls back to full-tree budgeting
+        self._params_baked = _tree_bytes(params) <= max_baked
         self._translate_chunk_ctx1 = bind(translate_chunk_ctx1)
-        self._score_paths = bind(score_paths)
+        self._score_paths = bind(score_paths, touched=enc_tree)
         self._recon_paths = bind(recon_paths)
 
     # -- model-space mapping ------------------------------------------------
@@ -246,26 +265,61 @@ class VisualRewardEngine:
             return self._frames_to_model_space(vids)
         return vids
 
+    # -- device featurize (oursinception) -----------------------------------
+    def _featurize_device(self, frames_u8):
+        """uint8 frames [B, H, W, 3] (device or host) -> backbone feature maps
+        ON DEVICE, in the backbone's fixed chunk-size programs (last chunk
+        padded). The host ``feature_fn`` path round-trips ~1 MB/frame of
+        Mixed_7c activations over the relay; at RL scoring scale that was the
+        dominant reward-eval cost — this keeps every activation resident."""
+        cf, c = self.feature_fn.chunk_fn, self.feature_fn.chunk
+        frames_u8 = jnp.asarray(frames_u8)
+        n = int(frames_u8.shape[0])
+        outs = []
+        for s in range(0, n, c):
+            sl = frames_u8[s : s + c]
+            if sl.shape[0] < c:
+                sl = jnp.concatenate([sl, jnp.repeat(sl[-1:], c - sl.shape[0], 0)])
+            outs.append(cf(sl))
+        return outs[0][:n] if len(outs) == 1 else jnp.concatenate(outs)[:n]
+
     # -- warmup: demo translation cache (base.py:195-226) ------------------
     def _warmup(self, context_frames: np.ndarray) -> None:
-        """context_frames: uint8 [V, H, W, C] — frame 0 of the first rollout."""
+        """context_frames: uint8 [V, H, W, C] — frame 0 of the first rollout.
+
+        Means accumulate ON DEVICE across chunks; only the final [T, ...]
+        means are fetched. (The earlier per-chunk fetch of every translated
+        demo was ~1 MB/frame over the relay — at the reference's demo counts
+        that is tens of GB of warmup download for two small means.)"""
         T, N = self.demo_data.shape[:2]
+        use_dev = self.cfg.mode == "oursinception" and hasattr(self.feature_fn, "chunk_fn")
         self.means, self.imgs = [], []
         for vp in range(self.nvp):
-            ctx1 = jnp.asarray(self._frames_to_model_space(context_frames[vp]))[None]
-            zs, outs = [], []
+            if use_dev:
+                ctx1 = self._featurize_device(jnp.asarray(context_frames[vp])[None])
+            else:
+                ctx1 = jnp.asarray(self._frames_to_model_space(context_frames[vp]))[None]
+            z_sum = out_sum = None
             c = self.chunk_videos
             for start in range(0, N, c):
-                vids = self._demos_to_model_space(self.demo_data[:, start : start + c])
+                vids = self.demo_data[:, start : start + c]  # [T, n, ...]
                 n = vids.shape[1]
-                src = jnp.asarray(np.moveaxis(vids, 1, 0).reshape(n * T, *vids.shape[2:]))
+                flat = np.moveaxis(vids, 1, 0).reshape(n * T, *vids.shape[2:])
+                if use_dev:
+                    src = self._featurize_device(flat)
+                else:
+                    src = jnp.asarray(
+                        self._frames_to_model_space(flat)
+                        if flat.dtype == np.uint8
+                        else flat
+                    )
                 z, out = self._translate_chunk_ctx1(src, ctx1)
-                zs.append(np.asarray(z, np.float32).reshape(n, T, -1))
-                outs.append(np.asarray(out, np.float32).reshape(n, T, *out.shape[1:]))
-            z_all = np.concatenate(zs)  # [N, T, F]
-            out_all = np.concatenate(outs)
-            self.means.append(z_all.mean(axis=0))  # [T, F]
-            self.imgs.append(out_all.mean(axis=0))  # [T, ...]
+                z = jnp.sum(z.reshape(n, T, -1), axis=0)
+                out = jnp.sum(out.reshape(n, T, *out.shape[1:]), axis=0)
+                z_sum = z if z_sum is None else z_sum + z
+                out_sum = out if out_sum is None else out_sum + out
+            self.means.append(np.asarray(z_sum, np.float32) / N)  # [T, F]
+            self.imgs.append(np.asarray(out_sum, np.float32) / N)  # [T, ...]
 
     def _gather_device_frames(self, paths):
         """Assemble the scoring batch from the sampler's device-resident
@@ -294,6 +348,28 @@ class VisualRewardEngine:
         ctx_u8 = np.asarray(b0[0, int(i0)])  # [V, H, W, C]
         return batch, ctx_u8
 
+    def _check_shared_context(self, paths) -> None:
+        """Enforce the fixed-context contract (SURVEY §7 / CLAUDE.md): the
+        warmup takes ONE context frame (rollout 0's) for the whole batch, so
+        every path must come from the same pinned scene draw. Samplers stamp
+        ``path["context_fp"]`` with the vec env's scene fingerprint (sha1 of
+        cameras + context geom colors/positions; the sentinel ``"mixed"``
+        when per-env scenes differ — the demo-recording configuration).
+        Unstamped paths (legacy samplers, hand-built tests) skip the check;
+        a stamped mixed/mismatched batch would silently score every rollout
+        against the wrong context, so it raises instead."""
+        fps = {p["context_fp"] for p in paths if "context_fp" in p}
+        if not fps:
+            return
+        if "mixed" in fps or len(fps) > 1:
+            raise ValueError(
+                "reward engine got rollouts from more than one scene context "
+                f"(fingerprints {sorted(fps)}): the translated-demo cache is "
+                "built for ONE pinned context (exp.launchers.sample_rl_context "
+                "protocol) — pin the scene in the env config, or drop "
+                "per-path 'context_fp' stamps to bypass (tests only)"
+            )
+
     # -- per-iteration splice ---------------------------------------------
     def process(self, paths: list[dict[str, Any]]) -> list[dict[str, Any]]:
         mode = self.cfg.mode
@@ -307,14 +383,17 @@ class VisualRewardEngine:
             return self._process_inception(paths)
 
         # -- ours / oursinception ------------------------------------------
+        self._check_shared_context(paths)
         if paths and "frames_dev" in paths[0]:
-            # device-resident fast path ("ours" only): frames never left the
-            # chip after the raycast render; gather/transpose them on device
-            # and skip the host restack + re-upload entirely
-            if mode != "ours":
+            # device-resident fast path: frames never left the chip after the
+            # raycast render; gather/transpose them on device and skip the
+            # host restack + re-upload entirely. oursinception additionally
+            # routes them through the backbone ON DEVICE (_featurize_device).
+            if mode == "oursinception" and not hasattr(self.feature_fn, "chunk_fn"):
                 raise ValueError(
-                    f"device-resident frames require mode 'ours' (got {mode!r} "
-                    "— backbone feature paths consume host frames)"
+                    "device-resident frames with mode 'oursinception' need a "
+                    "feature_fn exposing chunk_fn (make_inception_feature_fn) "
+                    "— a host-only backbone would force a frame round trip"
                 )
             missing = sum("frames_dev" not in p for p in paths)
             if missing:
@@ -349,9 +428,20 @@ class VisualRewardEngine:
             self._cache_T = T
         means, mean_imgs = self._means_dev, self._imgs_dev
         # mode "ours": ship raw uint8 (4x fewer bytes over the relay/PCIe)
-        # and normalize inside the jitted scorer; the inception mode still
-        # routes frames through the host/backbone feature_fn first
-        batch = batch_u8 if self.cfg.mode == "ours" else self._frames_to_model_space(batch_u8)
+        # and normalize inside the jitted scorer. oursinception: run the
+        # backbone ON DEVICE whenever the feature_fn exposes its jitted chunk
+        # map — device-resident frames never touch the host at all, and host
+        # frames upload once as uint8 (the legacy host feature_fn round-trips
+        # ~1 MB/frame of activations back over the relay).
+        if self.cfg.mode == "ours":
+            batch = batch_u8
+        elif hasattr(self.feature_fn, "chunk_fn"):
+            lead = batch_u8.shape[:3]  # [P, T, V]
+            flat = jnp.asarray(batch_u8).reshape(-1, *batch_u8.shape[3:])
+            feats = self._featurize_device(flat)
+            batch = feats.reshape(*lead, *feats.shape[1:])
+        else:
+            batch = self._frames_to_model_space(np.asarray(batch_u8))
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -365,11 +455,11 @@ class VisualRewardEngine:
 
         if self.cfg.ablation == "recon":
             feat = np.asarray(self._score_paths(batch, means, mean_imgs, 0.0))
-            recon = np.asarray(
-                self._recon_paths(
-                    batch, jnp.asarray(self._frames_to_model_space(ctx_u8))
-                )
-            )
+            if self.cfg.mode != "ours" and hasattr(self.feature_fn, "chunk_fn"):
+                ctx_model = self._featurize_device(jnp.asarray(ctx_u8))
+            else:
+                ctx_model = jnp.asarray(self._frames_to_model_space(ctx_u8))
+            recon = np.asarray(self._recon_paths(batch, ctx_model))
             costs = feat + self.cfg.scale * recon
         else:
             costs = np.asarray(

@@ -1,4 +1,8 @@
 from imitation_from_observation_tpu.rl.baselines import LinearFeatureBaseline, ZeroBaseline
+from imitation_from_observation_tpu.rl.nn_baseline import (
+    GaussianConvBaseline,
+    GaussianMLPBaseline,
+)
 from imitation_from_observation_tpu.rl.gae import discount_cumsum, process_paths
 from imitation_from_observation_tpu.rl.policy import GaussianMLPPolicy
 from imitation_from_observation_tpu.rl.device_rollout import DeviceSampler

@@ -88,6 +88,9 @@ class VectorizedSampler:
         n_steps = 0
         policy_time = env_time = 0.0
         obs = self.vec_env.reset()
+        # stamp the scene-context fingerprint so the reward engine can enforce
+        # its one-pinned-context warmup contract (engine._check_shared_context)
+        ctx_fp = getattr(self.vec_env, "context_fingerprint", lambda: None)()
         while n_steps < self.batch_size:
             t0 = time.perf_counter()
             actions, agent_infos = self.policy.get_actions(obs, self.rng.next())
@@ -114,6 +117,8 @@ class VectorizedSampler:
                     path = self._finalize(running[i])
                     if block is not None:
                         path["frames_dev"] = (block, i)
+                    if ctx_fp is not None:
+                        path["context_fp"] = ctx_fp
                     paths.append(path)
                     n_steps += len(running[i]["rewards"])
                     running[i] = dict(
@@ -141,6 +146,7 @@ class VectorizedSampler:
         n_steps = 0
         policy_time = env_time = 0.0
         obs = vec.reset()
+        ctx_fp = getattr(vec, "context_fingerprint", lambda: None)()
         obs_s: list = []
         act_s: list = []
         rew_s: list = []
@@ -192,6 +198,8 @@ class VectorizedSampler:
                     )
                     if block is not None:
                         path["frames_dev"] = (block, i)
+                    if ctx_fp is not None:
+                        path["context_fp"] = ctx_fp
                     paths.append(path)
                     n_steps += T
                 obs_s, act_s, rew_s, rt_s, frm_s, ag_s = [], [], [], [], [], []
@@ -230,7 +238,7 @@ def truncate_paths(paths: list[dict[str, Any]], n_samples: int) -> list[dict[str
                     k: (
                         {kk: vv[:keep] for kk, vv in v.items()}
                         if isinstance(v, dict)
-                        else (v if k == "frames_dev" else v[:keep])
+                        else (v if k in ("frames_dev", "context_fp") else v[:keep])
                     )
                     for k, v in p.items()
                 }

@@ -287,6 +287,26 @@ class NativeVecTask:
         xpos, xmat = self.sim.geom_state()
         return self._renderer.render_device(xpos, xmat, self.geom_rgba, self.cams)
 
+    def context_fingerprint(self) -> str:
+        """Scene-context fingerprint for the reward engine's fixed-context
+        contract (reward/engine.py::_check_shared_context): sha1 over the
+        shared camera poses + geom colors/positions when every env renders
+        the SAME scene draw, the sentinel ``"mixed"`` when any env differs
+        (the demo-recording configuration, where contexts randomize
+        per-episode). The engine warms its translated-demo cache from ONE
+        context frame, so a mixed batch must fail loudly, not silently score
+        against rollout 0's scene."""
+        import hashlib
+
+        parts = (self.cams, self.geom_rgba, self.geom_pos)
+        for a in parts:
+            if not (a == a[:1]).all():
+                return "mixed"
+        h = hashlib.sha1()
+        for a in parts:
+            h.update(np.ascontiguousarray(a[0]).tobytes())
+        return h.hexdigest()[:16]
+
     def pop_episode_frames(self):
         """Device frames of the episode that just finished, [T,N,V,h,w,3]
         uint8 jax array (or None). Cleared on read — each block is consumed

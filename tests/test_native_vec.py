@@ -76,3 +76,44 @@ def test_native_vec_reward_true_final_step():
             assert all(v < 0 for v in trues)
     assert dones.all()
     nv.close()
+
+
+def test_context_fingerprint_pinned_vs_mixed():
+    """context_fingerprint(): per-env random scene draws -> "mixed"; a pinned
+    context (viewpoint + geoms) -> a stable hex digest shared by fresh
+    instances (the reward engine's fixed-context handshake input)."""
+    from imitation_from_observation_tpu.sim import make_native_vec
+
+    cfg_rand = EnvConfig(name="pusher3dof", horizon=4, render_frames=False, seed=0)
+    nv = make_native_vec("pusher3dof", 3, cfg_rand, max_path_length=4)
+    assert nv.context_fingerprint() == "mixed"  # random per-env azimuths/colors
+    n_distract = len(nv._distractor_gids)
+    nv.close()
+
+    geoms = tuple(((0.3, 0.5, 0.7, 1.0), 0.1 * i, 0.2) for i in range(n_distract))
+    cfg_pin = EnvConfig(
+        name="pusher3dof", horizon=4, render_frames=False, seed=0,
+        viewpoint=120.0, geoms=geoms,
+    )
+    a = make_native_vec("pusher3dof", 3, cfg_pin, max_path_length=4)
+    b = make_native_vec("pusher3dof", 3, cfg_pin, max_path_length=4)
+    fa, fb = a.context_fingerprint(), b.context_fingerprint()
+    assert fa == fb and fa != "mixed" and len(fa) == 16
+    a.close()
+    b.close()
+
+
+def test_sampler_stamps_context_fp():
+    """VectorizedSampler stamps path["context_fp"] from the vec env so the
+    reward engine can enforce its one-context warmup contract."""
+    from imitation_from_observation_tpu.rl.policy import GaussianMLPPolicy
+    from imitation_from_observation_tpu.rl.sampler import VectorizedSampler
+
+    from imitation_from_observation_tpu.sim import make_native_vec
+
+    cfg = EnvConfig(name="pusher3dof", horizon=4, render_frames=False, seed=0)
+    nv = make_native_vec("pusher3dof", 3, cfg, max_path_length=4)
+    pol = GaussianMLPPolicy(obs_dim=nv.observation_space.flat_dim, action_dim=3, hidden=(8,))
+    paths, _ = VectorizedSampler(nv, pol, batch_size=12, max_path_length=4).obtain_samples()
+    assert paths and all(p["context_fp"] == "mixed" for p in paths)
+    nv.close()

@@ -221,6 +221,115 @@ def test_oursinception_mode_smoke():
     assert eng.imgs[0].shape == (T, F_HW, F_HW, F_C)
 
 
+def _fake_backbone(chunk=4, F_HW=4, F_C=32):
+    """A feature_fn shaped like make_inception_feature_fn's return: jitted
+    fixed-chunk device map exposed as ``chunk_fn`` + host wrapper."""
+    import jax as _jax
+
+    @_jax.jit
+    def chunk_fn(frames_u8):
+        x = jnp.asarray(frames_u8, jnp.float32) / 255.0 * 2 - 1
+        x = x.reshape(x.shape[0], F_HW, HW // F_HW, F_HW, HW // F_HW, 3).mean(axis=(2, 4))
+        return jnp.tile(x, (1, 1, 1, F_C // 3 + 1))[..., :F_C]
+
+    def feature_fn(frames_u8):
+        frames_u8 = np.asarray(frames_u8)
+        n = len(frames_u8)
+        outs = []
+        for s in range(0, n, chunk):
+            sl = frames_u8[s : s + chunk]
+            pad = chunk - len(sl)
+            if pad:
+                sl = np.concatenate([sl, np.repeat(sl[-1:], pad, 0)])
+            outs.append(np.asarray(chunk_fn(jnp.asarray(sl))))
+        return np.concatenate(outs)[:n]
+
+    feature_fn.chunk_fn = chunk_fn
+    feature_fn.chunk = chunk
+    feature_fn.params = None
+    return feature_fn
+
+
+def _feat_engine(feature_fn, params=None, F_HW=4, F_C=32):
+    model_cfg = TranslationModelConfig(
+        model="context_feat", strides=(1, 2, 1, 2), kernels=(3, 3, 3, 3),
+        filters=(16, 16, 8, 8), feat_size=16, feature_hw=(F_HW, F_HW),
+        feature_channels=F_C,
+    )
+    model = build_model(model_cfg)
+    x = jnp.zeros((1, F_HW, F_HW, F_C), jnp.float32)
+    if params is None:
+        params = model.init(jax.random.key(0), x, x, x)
+    rng = np.random.default_rng(0)
+    demo_u8 = rng.integers(0, 255, (T, 3, HW, HW, 3), dtype=np.uint8)
+    eng = VisualRewardEngine(
+        RewardConfig(mode="oursinception", scale=0.01), model_cfg,
+        params=params, demo_data=demo_u8, feature_fn=feature_fn, chunk_videos=2,
+    )
+    return eng, params
+
+
+def test_oursinception_device_backbone_matches_host():
+    """The on-device backbone route (feature_fn.chunk_fn: raycast frames ->
+    features -> encoder without host round trips) must splice identical
+    rewards to the legacy host feature_fn path, for BOTH host-frame and
+    device-block inputs."""
+    host_fn = _fake_backbone()
+    plain_fn = host_fn.__wrapped__ if hasattr(host_fn, "__wrapped__") else (
+        lambda f: host_fn(f)
+    )  # same math, no chunk_fn attribute -> legacy host path
+    eng_host, params = _feat_engine(plain_fn)
+    paths_host = _make_paths(n_paths=4, seed=31)
+    eng_host.process(paths_host)
+
+    eng_dev, _ = _feat_engine(host_fn, params=params)
+    paths_up = _make_paths(n_paths=4, seed=31)
+    eng_dev.process(paths_up)  # host frames, device featurize
+    for pa, pb in zip(paths_host, paths_up):
+        np.testing.assert_allclose(pa["rewards"], pb["rewards"], rtol=1e-4, atol=1e-4)
+
+    eng_dev2, _ = _feat_engine(host_fn, params=params)
+    paths_dev = _paths_to_frames_dev(_make_paths(n_paths=4, seed=31))
+    eng_dev2.process(paths_dev)  # device blocks end-to-end
+    for pa, pb in zip(paths_host, paths_dev):
+        np.testing.assert_allclose(pa["rewards"], pb["rewards"], rtol=1e-4, atol=1e-4)
+
+
+def test_oursinception_device_frames_require_chunk_fn():
+    """Device-resident frames + a host-only backbone would silently force a
+    frame round trip — the engine must refuse instead."""
+    eng, _ = _feat_engine(lambda f: _fake_backbone()(f))  # no chunk_fn attr
+    paths_dev = _paths_to_frames_dev(_make_paths(n_paths=2, seed=32))
+    with pytest.raises(ValueError, match="chunk_fn"):
+        eng.process(paths_dev)
+
+
+def test_mixed_context_batch_raises():
+    """The fixed-context contract (engine._check_shared_context): stamped
+    paths from more than one scene draw must fail loudly — the warmup cache
+    is built for ONE pinned context."""
+    eng, params, demo, model = _engine_and_params()
+    paths = _make_paths(n_paths=3, seed=33)
+    for p, fp in zip(paths, ["aaa", "aaa", "bbb"]):
+        p["context_fp"] = fp
+    with pytest.raises(ValueError, match="one scene context"):
+        eng.process(paths)
+    # the "mixed" sentinel (per-env randomization) also raises
+    eng2, *_ = _engine_and_params()
+    paths = _make_paths(n_paths=2, seed=34)
+    for p in paths:
+        p["context_fp"] = "mixed"
+    with pytest.raises(ValueError, match="one scene context"):
+        eng2.process(paths)
+    # uniform stamps pass
+    eng3, *_ = _engine_and_params()
+    paths = _make_paths(n_paths=2, seed=35)
+    for p in paths:
+        p["context_fp"] = "aaa"
+    eng3.process(paths)
+    assert paths[0]["rewards"][3] != 0
+
+
 def test_inception_mode_zscore(tmp_path):
     """inception mode: z-scored activation error vs stored expert means
     (base.py:179-189)."""

@@ -613,3 +613,28 @@ def test_trpo_categorical_recurrent_optimize():
         )
         assert np.isfinite(diag["LossAfter"]) and np.isfinite(diag["MeanKL"])
     assert p_action0() > before + 0.05
+
+
+def test_gaussian_conv_baseline_fits(tmp_path=None):
+    """GaussianConvBaseline (rllab/baselines/gaussian_conv_baseline.py): conv
+    value net over image observations; fitting moves predictions toward the
+    returns (here: return = mean brightness, linearly decodable from pixels)."""
+    from imitation_from_observation_tpu.rl import GaussianConvBaseline
+
+    rng = np.random.default_rng(0)
+    shape = (8, 8, 3)
+    bl = GaussianConvBaseline(shape, conv_filters=(8,), conv_strides=(2,), hidden=(16,), epochs=40)
+    paths = []
+    for _ in range(6):
+        obs = rng.uniform(-1, 1, (10, *shape)).astype(np.float32)
+        paths.append(dict(observations=obs.reshape(10, -1), returns=obs.mean(axis=(1, 2, 3))))
+    before = np.mean(
+        [np.mean((bl.predict(p) - p["returns"]) ** 2) for p in paths]
+    )
+    for _ in range(10):
+        bl.fit(paths)
+    after = np.mean([np.mean((bl.predict(p) - p["returns"]) ** 2) for p in paths])
+    assert after < before * 0.5, (before, after)
+    # shaped observations predict identically to flat ones
+    shaped = dict(observations=paths[0]["observations"].reshape(10, *shape), returns=paths[0]["returns"])
+    np.testing.assert_allclose(bl.predict(shaped), bl.predict(paths[0]), rtol=1e-5, atol=1e-6)
