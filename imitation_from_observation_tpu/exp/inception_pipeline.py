@@ -29,6 +29,7 @@ from imitation_from_observation_tpu.exp.gen_videos import generate_demo_videos_v
 from imitation_from_observation_tpu.exp.launchers import (
     run_translation_training,
     run_visual_trpo,
+    sample_rl_context,
     scene_overrides,
 )
 from imitation_from_observation_tpu.exp.train_expert import load_expert
@@ -48,6 +49,9 @@ def run_strike_inception(
     video_dir: str | None = None,
     frames_cache: str | None = None,
     rl_iters: int = 8,
+    rl_batch_size: int = 2500,
+    rl_n_envs: int = 50,
+    rl_context: dict | None = None,
     notes_caveat: str = "",
 ) -> dict:
     """Run config 4 end-to-end into ``log_dir``; returns the summary dict.
@@ -71,8 +75,12 @@ def run_strike_inception(
             # PRETRAINED features) — clip the global grad norm
             grad_clip_norm=1.0,
         ),
-        rl=cfg.rl.replace(batch_size=2500, max_path_length=50, n_envs=50,
-                          n_iters=rl_iters, init_std=10.0, snapshot_mode="all"),
+        # reference RL shape: batch 50*250, n_itr 200 (run_trpo_inception.py:201-209);
+        # the proof-of-pipeline default stays small, the at-scale driver passes
+        # rl_batch_size=12500, rl_iters>=150
+        rl=cfg.rl.replace(batch_size=rl_batch_size, max_path_length=50,
+                          n_envs=rl_n_envs, n_iters=rl_iters, init_std=10.0,
+                          snapshot_mode="all"),
         reward=cfg.reward.replace(mode="oursinception", scale=1.0, skip=1),
     )
 
@@ -180,11 +188,17 @@ def run_strike_inception(
 
     # -- stage 4: TRPO with oursinception reward ------------------------------
     # held-out demos ship as uint8 frames; the engine routes them (and the
-    # agent's frames) through the backbone at warmup/scoring (base.py:211-215)
+    # agent's frames) through the backbone at warmup/scoring (base.py:211-215).
+    # The RL scene is PINNED (the reference's fixed-context protocol,
+    # rand_strike run_trpo_inception.py:150-165 draws once per experiment);
+    # demo recording above keeps per-episode randomization.
+    if rl_context is None:
+        rl_context = sample_rl_context("strike", seed=0)
+    rl_cfg = cfg.replace(env=cfg.env.replace(**rl_context))
     n_train = cfg.train.n_train
     t0 = time.time()
     policy, history = run_visual_trpo(
-        cfg, params=trainer.state.params, demo_data=frames[:, n_train:],
+        rl_cfg, params=trainer.state.params, demo_data=frames[:, n_train:],
         feature_fn=feature_fn,
     )
     timings["rl_s"] = round(time.time() - t0, 1)
@@ -193,6 +207,8 @@ def run_strike_inception(
     summary = dict(
         timings=timings,
         backbone=backbone_tag,
+        rl_context={k: str(v) for k, v in rl_context.items()},
+        rl_shape=dict(batch=rl_batch_size, n_iters=rl_iters, n_envs=rl_n_envs),
         feat_shape=list(feat_vdata.shape),
         feat_rms=feat_rms,
         first=history[0]["ReturnTrue"],

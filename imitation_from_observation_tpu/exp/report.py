@@ -48,7 +48,11 @@ def done_rows(log_dir: str, n_iters: int) -> list[dict] | None:
         rows = list(csv.DictReader(f))
     if len(rows) < n_iters:
         return None
+    optional = ("RewardFeatTerm", "RewardPixTerm")
     return [
-        {"ReturnTrue": float(r["ReturnTrue"]), "SuccessRate": float(r["SuccessRate"])}
+        dict(
+            {"ReturnTrue": float(r["ReturnTrue"]), "SuccessRate": float(r["SuccessRate"])},
+            **{k: float(r[k]) for k in optional if r.get(k) not in (None, "")},
+        )
         for r in rows
     ]

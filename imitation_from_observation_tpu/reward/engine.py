@@ -194,7 +194,9 @@ class VisualRewardEngine:
         def score_paths(params, x, means, mean_imgs, scale):
             """x [P, T, V, ...] in model space — or raw uint8 frames, which
             normalize ON DEVICE (ship 1/4 the bytes over PCIe/relay);
-            means [V, T, F]; mean_imgs [V, T, ...] -> costs [P, T]."""
+            means [V, T, F]; mean_imgs [V, T, ...] -> (costs [P, T],
+            per-viewpoint term means [V] for feat and scaled-pixel — the RL
+            tabular's reward decomposition, RewardFeatTerm/RewardPixTerm)."""
             if x.dtype == jnp.uint8:
                 x = x.astype(jnp.float32) / 127.5 - 1.0
             P, T, V = x.shape[:3]
@@ -213,7 +215,8 @@ class VisualRewardEngine:
                 costs = feat_cost
             else:
                 costs = feat_cost + scale * pix_cost
-            return jnp.sum(costs, axis=1)  # sum over viewpoints -> [P, T]
+            terms = (jnp.mean(feat_cost, axis=(0, 2)), scale * jnp.mean(pix_cost, axis=(0, 2)))
+            return jnp.sum(costs, axis=1), terms  # vp-sum -> [P, T]; ([V], [V])
 
         def recon_paths(params, x, context):
             """Autoencode agent frames through their own context; pixel L2 to
@@ -454,17 +457,31 @@ class VisualRewardEngine:
             batch = jnp.asarray(batch)
 
         if self.cfg.ablation == "recon":
-            feat = np.asarray(self._score_paths(batch, means, mean_imgs, 0.0))
+            scored, terms = self._score_paths(batch, means, mean_imgs, 0.0)
+            feat = np.asarray(scored)
             if self.cfg.mode != "ours" and hasattr(self.feature_fn, "chunk_fn"):
                 ctx_model = self._featurize_device(jnp.asarray(ctx_u8))
             else:
                 ctx_model = jnp.asarray(self._frames_to_model_space(ctx_u8))
             recon = np.asarray(self._recon_paths(batch, ctx_model))
             costs = feat + self.cfg.scale * recon
+            terms = (np.asarray(terms[0]), self.cfg.scale * recon.mean(keepdims=True))
         else:
-            costs = np.asarray(
-                self._score_paths(batch, means, mean_imgs, self.cfg.scale)
-            )
+            scored, terms = self._score_paths(batch, means, mean_imgs, self.cfg.scale)
+            costs = np.asarray(scored)
+        # reward decomposition for the RL tabular (per-term means, per
+        # viewpoint): which term is driving — or drowning — the signal is the
+        # first question every flat-success study asks (VERDICT r4 item 4)
+        feat_t, pix_t = (np.asarray(t, np.float64).reshape(-1) for t in terms)
+        diag = {
+            "RewardFeatTerm": float(feat_t.sum()),
+            "RewardPixTerm": float(pix_t.sum()),
+        }
+        if self.nvp > 1 and len(feat_t) == self.nvp:
+            for v in range(self.nvp):
+                diag[f"RewardFeatTerm_v{v}"] = float(feat_t[v])
+                diag[f"RewardPixTerm_v{v}"] = float(pix_t[v])
+        self.last_diagnostics = diag
         # splice: rendered frame j came from env step 2j+1 (base.py:256-257)
         for p, cost in zip(paths, costs):
             for j in range(T):

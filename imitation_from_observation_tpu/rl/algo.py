@@ -92,6 +92,9 @@ class BatchPolopt:
                 row.update(samples["diagnostics"])
                 row.update(opt_diag)
                 row.update(timings)
+                # visual-reward term decomposition (engine.py sets it per
+                # scoring call): feat vs pixel cost, per viewpoint
+                row.update(getattr(self.reward_engine, "last_diagnostics", None) or {})
                 if self.best is not None:
                     row["BestReturnTrue"] = self.best["ReturnTrue"]
                     row["BestIteration"] = self.best["itr"]

@@ -57,7 +57,7 @@ class NativeVecTask:
         frame_backend: str = "tpu",  # tpu | egl
         frames_mode: str | None = None,  # default from config.render_frames
         resample_cameras: bool = False,  # fresh viewpoints every episode
-        supersample: int = 2,
+        supersample: int | None = None,  # None: 2 below 128px, 1 at/above
         device_frames: bool = False,  # keep rendered frames ON device
     ):
         self.config = config or EnvConfig()
@@ -124,6 +124,12 @@ class NativeVecTask:
                 from imitation_from_observation_tpu.sim.raycast import TpuRenderer
 
                 h, w = self.config.image_size
+                if supersample is None:
+                    # 2x AA matters at the sim tasks' 48-64px; at the
+                    # inception config's 299px it is invisible through the
+                    # backbone and quadruples the ray count (the RL render
+                    # bill at 250 envs x 299^2)
+                    supersample = 1 if max(h, w) >= 128 else 2
                 self._renderer = TpuRenderer(self.model, h, w, ss=supersample)
             else:
                 h, w = self.config.render_size
