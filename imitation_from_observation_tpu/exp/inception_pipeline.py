@@ -52,6 +52,7 @@ def run_strike_inception(
     rl_batch_size: int = 2500,
     rl_n_envs: int = 50,
     rl_context: dict | None = None,
+    translation_iters: int | None = None,
     notes_caveat: str = "",
 ) -> dict:
     """Run config 4 end-to-end into ``log_dir``; returns the summary dict.
@@ -70,6 +71,7 @@ def run_strike_inception(
         train=cfg.train.replace(
             batch_size=25, n_videos=n_demos, n_train=int(n_demos * 0.8), n_skip=2,
             rescale=False, eval_every=200, save_every=2000, log_every=100,
+            **({} if translation_iters is None else {"n_iters": translation_iters}),
             # heavy-tailed feature losses (random/selfsup backbones) hit
             # recurring spikes under bare Adam (the reference's choice, with
             # PRETRAINED features) — clip the global grad norm
