@@ -121,10 +121,14 @@ def wait_for_tpu(max_wait_s: float, probe_timeout_s: float = 180.0) -> bool:
     deadline = time.time() + max_wait_s
     first = True
     while True:
+        # never let a single hung probe overshoot the whole wait budget (a
+        # dead relay hangs the op; small BENCH_RELAY_MAX_WAIT values must
+        # still produce the stale-fallback line promptly)
+        budget = max(10.0, deadline - time.time() + 5.0)
         try:
             rc = subprocess.run(
                 [sys.executable, "-c", _PROBE_CODE],
-                timeout=probe_timeout_s,
+                timeout=min(probe_timeout_s, budget),
                 capture_output=True,
             ).returncode
         except subprocess.TimeoutExpired:
