@@ -398,7 +398,11 @@ def run_pipeline(
     ``rl_context``: EnvConfig override fields pinning the RL stage to ONE
     fixed scene (viewpoint/goal/colors/distractors) the way the reference
     launchers did (see :func:`sample_rl_context`) — demo recording keeps
-    its full per-episode randomization either way.
+    its full per-episode randomization either way. When None, a context is
+    drawn from :func:`sample_rl_context` with this ``seed``: the fixed-
+    context protocol is REQUIRED for visual-RL learning (CLAUDE.md;
+    re-randomized contexts cap reach at ~-0.95 vs -0.26 pinned), and the
+    reward engine now rejects mixed-context batches outright.
 
     ``expert_npz``: skip expert training and load a saved expert instead —
     e.g. one extracted from the reference's shipped pickles
@@ -501,6 +505,8 @@ def run_pipeline(
     trainer = run_translation_training(cfg, os.path.join(video_dir, "*.mp4"), resume=resume)
     # held-out demos -> reward engine demo data (reference modeldata npy)
     demo_data = trainer.valid_data
+    if rl_context is None:
+        rl_context = sample_rl_context(task, seed=seed)
     rl_cfg = cfg if not rl_context else cfg.replace(env=cfg.env.replace(**rl_context))
     policy, history = run_visual_trpo(rl_cfg, params=trainer.state.params, demo_data=demo_data)
     return dict(expert=expert, trainer=trainer, policy=policy, history=history)

@@ -329,31 +329,39 @@ def calibrate_bn(model: InceptionV3, params: Any, x: jax.Array, n_passes: int = 
     must be >= the ConvBN depth along the longest path (~20 to Mixed_7c).
     """
 
-    @jax.jit
-    def measure(p):
-        _, st = model.apply(p, x, features_only=True, mutable=["bn_stats"])
-        return st["bn_stats"]
-
     def write(node, stats):
+        """Functionally merge measured stats into the param tree (structures
+        are static at trace time, so this python recursion stages into the
+        compiled loop body)."""
+        out = dict(node)
         for k, v in stats.items():
-            if isinstance(v, dict):
-                write(node[k], v)
+            if isinstance(v, dict) and k in out:
+                out[k] = write(node[k], v)
         if "mean" in stats and not isinstance(stats["mean"], dict):
             # until a layer's upstream is normalized its pre-activations can
             # overflow f32 (inf/nan stats); sanitize so later passes converge
             # from any intermediate state. Var floor: a dead channel would
             # otherwise rsqrt to inf through the 1e-3 eps alone.
             mean, var = stats["mean"], stats["var"]
-            node["moving_mean"] = jnp.where(jnp.isfinite(mean), mean, 0.0)
-            node["moving_variance"] = jnp.maximum(
+            out["moving_mean"] = jnp.where(jnp.isfinite(mean), mean, 0.0)
+            out["moving_variance"] = jnp.maximum(
                 jnp.where(jnp.isfinite(var), var, 1.0), 1e-6
             )
+        return out
 
-    params = jax.tree_util.tree_map(lambda a: a, params)  # deep-copy containers
-    for _ in range(n_passes):
-        stats = jax.device_get(measure(params))
-        write(params["params"], stats)
-    return params
+    # ALL passes inside one jit: the host loop version paid a full param-tree
+    # re-ship + stats fetch over the relay PER PASS (measured ~20 s/pass,
+    # ~20 min per calibration at n_passes=60); on device the tree ships once
+    # and the 60 forwards are pure compute (~15 s total)
+    @jax.jit
+    def calibrate(p, x):
+        def body(_, p):
+            _, st = model.apply(p, x, features_only=True, mutable=["bn_stats"])
+            return {**p, "params": write(p["params"], st["bn_stats"])}
+
+        return jax.lax.fori_loop(0, n_passes, body, p)
+
+    return calibrate(params, x)
 
 
 def load_tf_slim_npz(npz_path: str, params_like) -> Any:
