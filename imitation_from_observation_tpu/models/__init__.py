@@ -6,6 +6,11 @@ from imitation_from_observation_tpu.models.context import (
 )
 from imitation_from_observation_tpu.models.losses import translation_loss
 from imitation_from_observation_tpu.models.zoo import build_model, MODEL_REGISTRY
+from imitation_from_observation_tpu.models.backbones_extra import (
+    ResNetV1,
+    VGG16,
+    make_backbone,
+)
 
 __all__ = [
     "ContextFeat",
@@ -15,4 +20,7 @@ __all__ = [
     "translation_loss",
     "build_model",
     "MODEL_REGISTRY",
+    "ResNetV1",
+    "VGG16",
+    "make_backbone",
 ]
