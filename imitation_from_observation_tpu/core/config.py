@@ -95,6 +95,13 @@ class TrainConfig(_Base):
     # float32 — standard mixed precision). Opt-in: the committed recipe runs
     # and the reference both trained f32.
     compute_dtype: str = "float32"
+    # storage dtype for the device-resident dataset when it is NOT uint8-
+    # packable (feature-space ContextFeat data): "bfloat16" halves both its
+    # HBM footprint and the per-fused-call relay argument re-ship (the relay
+    # re-ships args every program call, CLAUDE.md) — at the 500-demo
+    # strike-inception budget the f32 feature tensor is 6.5 GB/call.
+    # Batches decode back to f32 inside the jitted step. None keeps f32.
+    device_data_dtype: str | None = None
     seed: int = 0
     data_axis: str = "data"  # mesh axis for data parallelism
     checkpoint_dir: str = "checkpoints"

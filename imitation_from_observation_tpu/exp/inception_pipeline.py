@@ -70,12 +70,18 @@ def run_strike_inception(
         # reference: batch 25, nlen 25 (skip 2), run_train_strike_inception.py:39-43
         train=cfg.train.replace(
             batch_size=25, n_videos=n_demos, n_train=int(n_demos * 0.8), n_skip=2,
-            rescale=False, eval_every=200, save_every=2000, log_every=100,
+            rescale=False, eval_every=500, save_every=5000, log_every=500,
             **({} if translation_iters is None else {"n_iters": translation_iters}),
             # heavy-tailed feature losses (random/selfsup backbones) hit
             # recurring spikes under bare Adam (the reference's choice, with
             # PRETRAINED features) — clip the global grad norm
             grad_clip_norm=1.0,
+            # the relay re-ships the device dataset ARGUMENT every fused call
+            # (CLAUDE.md): at 500 demos the feature tensor is 6.5 GB f32 —
+            # amortize with 500-step fused calls and bf16 storage (3.3 GB;
+            # batches widen to f32 in-step)
+            steps_per_call=500,
+            device_data_dtype="bfloat16",
         ),
         # reference RL shape: batch 50*250, n_itr 200 (run_trpo_inception.py:201-209);
         # the proof-of-pipeline default stays small, the at-scale driver passes

@@ -171,6 +171,20 @@ class TranslationTrainer:
             # device-resident dataset (replicated); batches are gathered and
             # resharded onto the data axis inside the jitted step
             dev_data, self._dev_data_u8 = _pack_device_data(self.train_data)
+            self._dev_data_cast = False
+            if not self._dev_data_u8 and train_cfg.device_data_dtype is not None:
+                # compact storage for non-u8 data (see TrainConfig) — cast on
+                # the HOST (ml_dtypes) so neither RAM nor HBM ever holds both
+                # copies; batches decode to f32 in-step
+                import ml_dtypes
+
+                dt = np.dtype(train_cfg.device_data_dtype)
+                if dt == np.dtype(ml_dtypes.bfloat16) and dev_data.dtype != dt:
+                    out = np.empty(dev_data.shape, ml_dtypes.bfloat16)
+                    for t in range(dev_data.shape[0]):
+                        out[t] = dev_data[t].astype(ml_dtypes.bfloat16)
+                    dev_data = out
+                    self._dev_data_cast = True
             self._train_data_dev = jax.device_put(
                 jnp.asarray(dev_data), replicated(self.mesh)
             )
@@ -261,6 +275,7 @@ class TranslationTrainer:
         K = max(1, self.cfg.steps_per_call)
 
         unpack_u8 = self._dev_data_u8
+        cast_f32 = getattr(self, "_dev_data_cast", False)
 
         def one_step(state: TrainState, data):
             key = jax.random.fold_in(jax.random.key(self.cfg.seed + 2), state.step)
@@ -273,6 +288,8 @@ class TranslationTrainer:
             if unpack_u8:  # dataset stored uint8; decode the gathered batch
                 dec = lambda x: x.astype(jnp.float32) / 127.5 - 1.0
                 src, tgt, ctx = dec(src), dec(tgt), dec(ctx)
+            elif cast_f32:  # compact (bf16) storage: widen the batch only
+                src, tgt, ctx = (x.astype(jnp.float32) for x in (src, tgt, ctx))
             (loss, metrics), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
                 state.params, src, ctx, tgt, k_drop
             )

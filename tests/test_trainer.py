@@ -228,3 +228,43 @@ def test_trainer_uint8_device_data_path(tmp_path):
         jax.tree_util.tree_leaves(tr32.state.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_device_data_bf16_storage_close_to_f32():
+    """Compact (bf16) device-data storage for non-u8 datasets (feature-space
+    ContextFeat): runs the fused path and stays close to the f32-stored run
+    (same seeds; only the dataset storage is quantized)."""
+    import numpy as np
+
+    from imitation_from_observation_tpu.core.config import (
+        TrainConfig,
+        TranslationModelConfig,
+    )
+    from imitation_from_observation_tpu.train import TranslationTrainer
+
+    rng = np.random.default_rng(0)
+    # NOT u8-exact (uniform floats): triggers the f32 fallback, then the cast
+    vdata = rng.uniform(-1, 1, (4, 6, 8, 8, 16)).astype(np.float32)
+    m = TranslationModelConfig(
+        model="context_feat", strides=(1, 2), kernels=(3, 3), filters=(8, 8),
+        feat_size=8, feature_hw=(8, 8), feature_channels=16,
+    )
+    mk = lambda dd: TranslationTrainer(
+        m,
+        TrainConfig(batch_size=4, n_iters=6, n_train=5, steps_per_call=3,
+                    eval_every=10**9, save_every=10**9, log_every=10**9,
+                    device_data_dtype=dd),
+        vdata,
+    )
+    ta, tb = mk(None), mk("bfloat16")
+    assert not ta._dev_data_cast and tb._dev_data_cast
+    assert tb._train_data_dev.dtype == "bfloat16"
+    sa = ta.train(6)
+    sb = tb.train(6)
+    import jax
+
+    la = jax.tree_util.tree_leaves(sa.params)[0]
+    lb = jax.tree_util.tree_leaves(sb.params)[0]
+    assert np.all(np.isfinite(np.asarray(la))) and np.all(np.isfinite(np.asarray(lb)))
+    # same init, near-identical data -> parameters stay close after 6 steps
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=0.15, atol=1e-3)
