@@ -7,7 +7,14 @@ from imitation_from_observation_tpu.models.context import (
 from imitation_from_observation_tpu.models.losses import translation_loss
 from imitation_from_observation_tpu.models.zoo import build_model, MODEL_REGISTRY
 from imitation_from_observation_tpu.models.backbones_extra import (
+    AlexNetV2,
+    CifarNet,
+    InceptionV1,
+    LeNet,
+    OverFeat,
     ResNetV1,
+    ResNetV2,
+    VGG,
     VGG16,
     make_backbone,
 )
@@ -20,7 +27,14 @@ __all__ = [
     "translation_loss",
     "build_model",
     "MODEL_REGISTRY",
+    "AlexNetV2",
+    "CifarNet",
+    "InceptionV1",
+    "LeNet",
+    "OverFeat",
     "ResNetV1",
+    "ResNetV2",
+    "VGG",
     "VGG16",
     "make_backbone",
 ]

@@ -332,3 +332,177 @@ def test_backbone_factory():
 
     with _pytest.raises(ValueError):
         make_backbone("alexnet_v9")
+
+
+def test_vgg_variants_param_counts():
+    """vgg_19 / vgg_a topologies pinned to the published slim counts."""
+    import jax
+    import jax.numpy as jnp
+
+    from imitation_from_observation_tpu.models.backbones_extra import VGG
+
+    for reps, expect in (((2, 2, 4, 4, 4), 143_667_240),
+                         ((1, 1, 2, 2, 2), 132_863_336)):
+        m = VGG(reps=reps)
+        v = jax.eval_shape(lambda m=m: m.init(
+            jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32)))
+        n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v))
+        assert n == expect, (reps, n)
+
+
+def test_alexnet_overfeat_shapes():
+    """alexnet_v2 pinned to its published count (50,303,912: the no-LRN
+    fully-conv variant, nets/alexnet.py:76-120); overfeat logits resolve at
+    the canonical 231x231 (fc6 6x6 VALID leaves 1x1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from imitation_from_observation_tpu.models.backbones_extra import (
+        AlexNetV2,
+        OverFeat,
+    )
+
+    m = AlexNetV2()
+    v = jax.eval_shape(lambda: m.init(
+        jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32)))
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v))
+    assert n == 50_303_912, n
+    logits, ep = jax.eval_shape(
+        lambda p: m.apply(p, jnp.zeros((2, 224, 224, 3), jnp.float32)), v)
+    assert logits.shape == (2, 1000)
+    assert ep["pool5"].shape == (2, 5, 5, 256)
+
+    o = OverFeat()
+    vo = jax.eval_shape(lambda: o.init(
+        jax.random.key(0), jnp.zeros((1, 231, 231, 3), jnp.float32)))
+    logits, ep = jax.eval_shape(
+        lambda p: o.apply(p, jnp.zeros((2, 231, 231, 3), jnp.float32)), vo)
+    assert logits.shape == (2, 1000)
+    assert ep["pool5"].shape == (2, 6, 6, 1024) and ep["fc6"].shape == (2, 1, 1, 3072)
+
+
+def test_inception_v1_endpoints():
+    """Published GoogLeNet endpoint shapes at 224 (inception_v1.py:21-25),
+    plus a real small-input forward through every Mixed block."""
+    import jax
+    import jax.numpy as jnp
+
+    from imitation_from_observation_tpu.models.backbones_extra import InceptionV1
+
+    m = InceptionV1()
+    v = jax.eval_shape(lambda: m.init(
+        jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32)))
+    ep = jax.eval_shape(
+        lambda p: m.apply(p, jnp.zeros((1, 224, 224, 3), jnp.float32),
+                          features_only=True), v)
+    assert ep["Mixed_3b"].shape == (1, 28, 28, 256)
+    assert ep["Mixed_3c"].shape == (1, 28, 28, 480)
+    assert ep["Mixed_4f"].shape == (1, 14, 14, 832)
+    assert ep["Mixed_5c"].shape == (1, 7, 7, 1024)
+    logits, _ = jax.eval_shape(
+        lambda p: m.apply(p, jnp.zeros((1, 224, 224, 3), jnp.float32)), v)
+    assert logits.shape == (1, 1000)
+    # Mixed_5b keeps slim's Branch_2 'Conv2d_0a_3x3' scope typo (the
+    # checkpoint-name contract, inception_v1.py:220)
+    flat = jax.tree_util.tree_flatten_with_path(v)[0]
+    keys = {"/".join(str(getattr(p, "key", p)) for p in path) for path, _ in flat}
+    assert any("Mixed_5b/Branch_2/Conv2d_0a_3x3" in k for k in keys)
+    assert any("Mixed_5c/Branch_2/Conv2d_0b_3x3" in k for k in keys)
+    # real forward at a small input (features_only dodges the 7x7 head pool)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)), jnp.float32)
+    params = m.init(jax.random.key(1), x, features_only=True)
+    ep = m.apply(params, x, features_only=True)
+    assert ep["Mixed_5c"].shape == (2, 2, 2, 1024)
+    assert np.all(np.isfinite(np.asarray(ep["Mixed_5c"])))
+
+
+def test_cifarnet_lenet_forward_and_lrn():
+    import jax
+    import jax.numpy as jnp
+
+    from imitation_from_observation_tpu.models.backbones_extra import (
+        CifarNet,
+        LeNet,
+        local_response_norm,
+    )
+
+    rng = np.random.default_rng(0)
+    # tf.nn.lrn semantics vs a plain numpy loop
+    x = rng.uniform(-1, 1, (2, 3, 3, 7)).astype(np.float32)
+    got = np.asarray(local_response_norm(jnp.asarray(x)))
+    want = np.empty_like(x)
+    for c in range(7):
+        lo, hi = max(0, c - 4), min(7, c + 5)
+        ssum = np.sum(x[..., lo:hi] ** 2, axis=-1)
+        want[..., c] = x[..., c] / (1.0 + (0.001 / 9.0) * ssum) ** 0.75
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    m = CifarNet()
+    x32 = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    params = m.init(jax.random.key(0), x32)
+    logits, ep = m.apply(params, x32)
+    assert logits.shape == (2, 10) and ep["Flatten"].shape == (2, 8 * 8 * 64)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+    l = LeNet()
+    x28 = jnp.asarray(rng.uniform(-1, 1, (2, 28, 28, 1)), jnp.float32)
+    params = l.init(jax.random.key(0), x28)
+    logits, ep = l.apply(params, x28)
+    assert logits.shape == (2, 10) and ep["Flatten"].shape == (2, 7 * 7 * 64)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_backbone_factory_new_families():
+    from imitation_from_observation_tpu.models.backbones_extra import make_backbone
+
+    assert make_backbone("vgg_19")[0].reps == (2, 2, 4, 4, 4)
+    assert make_backbone("vgg_a")[0].reps == (1, 1, 2, 2, 2)
+    assert make_backbone("overfeat")[1] == (231, 231)
+    assert make_backbone("inception_v1")[1] == (224, 224)
+    assert make_backbone("cifarnet")[1] == (32, 32)
+    assert make_backbone("lenet")[1] == (28, 28)
+    assert make_backbone("alexnet_v2")[1] == (224, 224)
+
+
+def test_resnet_v2_structure_and_roundtrip(tmp_path):
+    """v2 preactivation structure: preact/postnorm BN paths exist, conv3 and
+    shortcut are biased bare convs (no BN), forward is finite, and a slim-
+    named npz restores leaf-for-leaf (resnet_v2.py:35-74,189-205)."""
+    import jax
+    import jax.numpy as jnp
+
+    from imitation_from_observation_tpu.models.backbones_extra import (
+        ResNetV2,
+        load_slim_npz,
+    )
+
+    rng = np.random.default_rng(0)
+    m = ResNetV2(depth=50, num_classes=7)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 96, 96, 3)), jnp.float32)
+    params = m.init(jax.random.key(1), x)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    keys = {"/".join(str(getattr(p, "key", p)) for p in path) for path, _ in flat}
+    assert any("unit_1/bottleneck_v2/preact/gamma" in k for k in keys)
+    assert any(k.endswith("postnorm/gamma") for k in keys)
+    assert any("bottleneck_v2/conv3/biases" in k for k in keys)
+    assert not any("bottleneck_v2/conv3/gamma" in k for k in keys)  # bare conv
+    assert any(k.endswith("conv1/biases") for k in keys)  # bare root conv
+
+    logits, ep = m.apply(params, x)
+    assert logits.shape == (2, 7) and np.all(np.isfinite(np.asarray(logits)))
+    assert ep["block4"].shape[-1] == 2048 and "postnorm" in ep
+
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        if key.startswith("params/"):
+            key = key[len("params/"):]
+        for stat in ("gamma", "beta", "moving_mean", "moving_variance"):
+            if key.endswith("/" + stat) and "/preact/" not in key and "/postnorm/" not in key:
+                key = key[: -len(stat)] + "BatchNorm/" + stat
+        out["resnet_v2_50/" + key] = np.asarray(leaf)
+    np.savez(tmp_path / "ck.npz", **out)
+    restored = load_slim_npz(str(tmp_path / "ck.npz"), params, "resnet_v2_50")
+    logits2, _ = m.apply(restored, x)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2), rtol=1e-6)
