@@ -412,6 +412,13 @@ def test_sampler_engine_device_frames_end_to_end():
         paths, _ = sampler.obtain_samples()
         assert len(paths) == 4  # 2 lockstep episodes x 2 envs
         assert all(("frames_dev" in p) == dev for p in paths)
+        # the 2 envs draw per-episode scenes, so the sampler stamps
+        # context_fp="mixed"; this test compares the two FRAME PATHS under
+        # one shared warmup, not context semantics — use the engine's
+        # documented tests-only bypass (see engine._check_shared_context;
+        # the contract itself is covered in test_reward.py)
+        for p in paths:
+            p.pop("context_fp", None)
         eng = VisualRewardEngine(
             RewardConfig(mode="ours", scale=0.5), mcfg, params=params, demo_data=demo
         )
