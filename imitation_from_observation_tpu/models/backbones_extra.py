@@ -428,6 +428,151 @@ class InceptionV1(nn.Module):
         return logits, ep
 
 
+class _SepConvBN(nn.Module):
+    """slim separable_conv2d + BN + relu — inception_v2's stem conv
+    (inception_v2.py:69-74): depthwise (TF kernel [k,k,in,mult]) then
+    pointwise 1x1, one scale-free BN on the output."""
+
+    features: int
+    kernel: int
+    stride: int
+    dw_mult: int
+
+    @nn.compact
+    def __call__(self, x):
+        k, cin = self.kernel, x.shape[-1]
+        dw = self.param(
+            "depthwise_weights", nn.initializers.truncated_normal(stddev=1.0),
+            (k, k, cin, self.dw_mult), jnp.float32,
+        )
+        pw = self.param(
+            "pointwise_weights", nn.initializers.truncated_normal(stddev=0.1),
+            (1, 1, cin * self.dw_mult, self.features), jnp.float32,
+        )
+        y = jax.lax.conv_general_dilated(
+            x, dw.reshape(k, k, 1, cin * self.dw_mult).astype(x.dtype),
+            (self.stride, self.stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=cin,
+        )
+        y = jax.lax.conv_general_dilated(
+            y, pw.astype(x.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+        ).astype(jnp.float32)
+        f = self.features
+        beta = self.param("beta", nn.initializers.zeros, (f,), jnp.float32)
+        mean = jax.lax.stop_gradient(
+            self.param("moving_mean", nn.initializers.zeros, (f,), jnp.float32))
+        var = jax.lax.stop_gradient(
+            self.param("moving_variance", nn.initializers.ones, (f,), jnp.float32))
+        y = (y - mean) * jax.lax.rsqrt(var + 1e-3) + beta
+        return nn.relu(y).astype(x.dtype)
+
+
+# inception_v2 Mixed blocks (inception_v2.py:103-393): (b0, (b1a, b1b),
+# (b2a, b2b, b2c), b3, b3_pool). Reductions Mixed_4a/5a are 3-branch
+# stride-2 blocks handled inline.
+_INC_V2_BLOCKS = {
+    "Mixed_3b": (64, (64, 64), (64, 96, 96), 32, "avg"),
+    "Mixed_3c": (64, (64, 96), (64, 96, 96), 64, "avg"),
+    "Mixed_4b": (224, (64, 96), (96, 128, 128), 128, "avg"),
+    "Mixed_4c": (192, (96, 128), (96, 128, 128), 128, "avg"),
+    "Mixed_4d": (160, (128, 160), (128, 160, 160), 96, "avg"),
+    "Mixed_4e": (96, (128, 192), (160, 192, 192), 96, "avg"),
+    "Mixed_5b": (352, (192, 320), (160, 224, 224), 128, "avg"),
+    "Mixed_5c": (352, (192, 320), (192, 224, 224), 128, "max"),
+}
+_INC_V2_REDUCTIONS = {
+    "Mixed_4a": ((128, 160), (64, 96, 96)),
+    "Mixed_5a": ((128, 192), (192, 256, 256)),
+}
+
+
+class InceptionV2(nn.Module):
+    """slim inception_v2 (nets/inception_v2.py): separable stem, 3x3-only
+    Mixed blocks with avg-pool projections (max in Mixed_5c), 3-branch
+    stride-2 reductions Mixed_4a/5a. `__call__` -> (logits, endpoints)."""
+
+    num_classes: int = 1000
+
+    @nn.compact
+    def __call__(self, x, features_only: bool = False):
+        from imitation_from_observation_tpu.models.inception_v3 import (
+            ConvBN,
+            _B,
+            _Branch,
+        )
+
+        ep = {}
+        net = _SepConvBN(64, 7, 2, dw_mult=8, name="Conv2d_1a_7x7")(x)
+        ep["Conv2d_1a_7x7"] = net
+        net = nn.max_pool(net, (3, 3), (2, 2), "SAME")
+        ep["MaxPool_2a_3x3"] = net
+        net = ConvBN(64, (1, 1), name="Conv2d_2b_1x1")(net)
+        ep["Conv2d_2b_1x1"] = net
+        net = ConvBN(192, (3, 3), name="Conv2d_2c_3x3")(net)
+        ep["Conv2d_2c_3x3"] = net
+        net = nn.max_pool(net, (3, 3), (2, 2), "SAME")
+        ep["MaxPool_3a_3x3"] = net
+        order = ["Mixed_3b", "Mixed_3c", "Mixed_4a", "Mixed_4b", "Mixed_4c",
+                 "Mixed_4d", "Mixed_4e", "Mixed_5a", "Mixed_5b", "Mixed_5c"]
+        for name in order:
+            if name in _INC_V2_REDUCTIONS:
+                (b0a, b0b), (b1a, b1b, b1c) = _INC_V2_REDUCTIONS[name]
+                br0 = _Branch(_B(
+                    (b0a, (1, 1), 1, "SAME", "Conv2d_0a_1x1"),
+                    (b0b, (3, 3), 2, "SAME", "Conv2d_1a_3x3"),
+                ), name=f"{name}/Branch_0")(net)
+                br1 = _Branch(_B(
+                    (b1a, (1, 1), 1, "SAME", "Conv2d_0a_1x1"),
+                    (b1b, (3, 3), 1, "SAME", "Conv2d_0b_3x3"),
+                    (b1c, (3, 3), 2, "SAME", "Conv2d_1a_3x3"),
+                ), name=f"{name}/Branch_1")(net)
+                br2 = nn.max_pool(net, (3, 3), (2, 2), "SAME")
+                net = jnp.concatenate([br0, br1, br2], axis=-1)
+            else:
+                b0, (b1a, b1b), (b2a, b2b, b2c), b3, pool = _INC_V2_BLOCKS[name]
+                br0 = _Branch(_B((b0, (1, 1), 1, "SAME", "Conv2d_0a_1x1")),
+                              name=f"{name}/Branch_0")(net)
+                br1 = _Branch(_B(
+                    (b1a, (1, 1), 1, "SAME", "Conv2d_0a_1x1"),
+                    (b1b, (3, 3), 1, "SAME", "Conv2d_0b_3x3"),
+                ), name=f"{name}/Branch_1")(net)
+                br2 = _Branch(_B(
+                    (b2a, (1, 1), 1, "SAME", "Conv2d_0a_1x1"),
+                    (b2b, (3, 3), 1, "SAME", "Conv2d_0b_3x3"),
+                    (b2c, (3, 3), 1, "SAME", "Conv2d_0c_3x3"),
+                ), name=f"{name}/Branch_2")(net)
+                pool_fn = nn.avg_pool if pool == "avg" else nn.max_pool
+                br3 = pool_fn(net, (3, 3), (1, 1), "SAME")
+                br3 = _Branch(_B((b3, (1, 1), 1, "SAME", "Conv2d_0b_1x1")),
+                              name=f"{name}/Branch_3")(br3)
+                net = jnp.concatenate([br0, br1, br2, br3], axis=-1)
+            ep[name] = net
+        if features_only:
+            return ep
+        net = nn.avg_pool(net, (7, 7), (1, 1), "VALID")
+        w = self.param(
+            "Logits/Conv2d_1c_1x1/weights",
+            nn.initializers.truncated_normal(stddev=0.01),
+            (1, 1, net.shape[-1], self.num_classes), jnp.float32,
+        )
+        b = self.param(
+            "Logits/Conv2d_1c_1x1/biases", nn.initializers.zeros,
+            (self.num_classes,), jnp.float32,
+        )
+        logits = (
+            jax.lax.conv_general_dilated(
+                net.astype(jnp.float32), w, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )[:, 0, 0, :]
+            + b
+        )
+        ep["Logits"] = logits
+        return logits, ep
+
+
 class _BiasConv(nn.Module):
     """slim conv2d with bias and no normalizer (the alexnet/overfeat/
     cifarnet/lenet unit); relu applied by the caller."""
@@ -664,6 +809,18 @@ def make_backbone(name: str):
         return VGG(reps=(1, 1, 2, 2, 2)), (224, 224)
     if name == "inception_v1":
         return InceptionV1(), (224, 224)
+    if name == "inception_v2":
+        return InceptionV2(), (224, 224)
+    if name == "inception_v4":
+        from imitation_from_observation_tpu.models.inception_family import InceptionV4
+
+        return InceptionV4(), (299, 299)
+    if name == "inception_resnet_v2":
+        from imitation_from_observation_tpu.models.inception_family import (
+            InceptionResnetV2,
+        )
+
+        return InceptionResnetV2(), (299, 299)
     if name == "alexnet_v2":
         return AlexNetV2(), (224, 224)
     if name == "overfeat":

@@ -506,3 +506,115 @@ def test_resnet_v2_structure_and_roundtrip(tmp_path):
     restored = load_slim_npz(str(tmp_path / "ck.npz"), params, "resnet_v2_50")
     logits2, _ = m.apply(restored, x)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2), rtol=1e-6)
+
+
+def test_inception_v2_endpoints():
+    """Published inception_v2 shapes at 224 (1024-ch Mixed_5c at 7x7), the
+    separable stem's TF kernel layout, and a real small-input forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from imitation_from_observation_tpu.models.backbones_extra import InceptionV2
+
+    m = InceptionV2()
+    v = jax.eval_shape(lambda: m.init(
+        jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32),
+        features_only=True))
+    ep = jax.eval_shape(
+        lambda p: m.apply(p, jnp.zeros((1, 224, 224, 3), jnp.float32),
+                          features_only=True), v)
+    assert ep["Conv2d_1a_7x7"].shape == (1, 112, 112, 64)
+    assert ep["Mixed_3b"].shape == (1, 28, 28, 256)
+    assert ep["Mixed_3c"].shape == (1, 28, 28, 320)
+    assert ep["Mixed_4a"].shape == (1, 14, 14, 576)
+    assert ep["Mixed_4e"].shape == (1, 14, 14, 576)
+    assert ep["Mixed_5c"].shape == (1, 7, 7, 1024)
+    flat = jax.tree_util.tree_flatten_with_path(v)[0]
+    shapes = {
+        "/".join(str(getattr(p, "key", p)) for p in path): leaf.shape
+        for path, leaf in flat
+    }
+    assert shapes["params/Conv2d_1a_7x7/depthwise_weights"] == (7, 7, 3, 8)
+    assert shapes["params/Conv2d_1a_7x7/pointwise_weights"] == (1, 1, 24, 64)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)), jnp.float32)
+    params = m.init(jax.random.key(1), x, features_only=True)
+    out = m.apply(params, x, features_only=True)
+    assert out["Mixed_5c"].shape == (2, 2, 2, 1024)
+    assert np.all(np.isfinite(np.asarray(out["Mixed_5c"])))
+
+
+def test_inception_v4_endpoints():
+    """Published inception_v4 shapes at 299 (Mixed_7d: 8x8x1536), block
+    counts (4xA, 7xB, 3xC), and a real small-input forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from imitation_from_observation_tpu.models.inception_family import InceptionV4
+
+    m = InceptionV4()
+    v = jax.eval_shape(lambda: m.init(
+        jax.random.key(0), jnp.zeros((1, 299, 299, 3), jnp.float32),
+        features_only=True))
+    ep = jax.eval_shape(
+        lambda p: m.apply(p, jnp.zeros((1, 299, 299, 3), jnp.float32),
+                          features_only=True), v)
+    assert ep["Mixed_3a"].shape == (1, 73, 73, 160)
+    assert ep["Mixed_4a"].shape == (1, 71, 71, 192)
+    assert ep["Mixed_5a"].shape == (1, 35, 35, 384)
+    assert ep["Mixed_5e"].shape == (1, 35, 35, 384)
+    assert ep["Mixed_6a"].shape == (1, 17, 17, 1024)
+    assert ep["Mixed_6h"].shape == (1, 17, 17, 1024)
+    assert ep["Mixed_7a"].shape == (1, 8, 8, 1536)
+    assert ep["Mixed_7d"].shape == (1, 8, 8, 1536)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 96, 96, 3)), jnp.float32)
+    params = m.init(jax.random.key(1), x, features_only=True)
+    out = m.apply(params, x, features_only=True)
+    assert out["Mixed_7d"].shape[-1] == 1536
+    assert np.all(np.isfinite(np.asarray(out["Mixed_7d"])))
+
+
+def test_inception_resnet_v2_endpoints():
+    """Published inception_resnet_v2 shapes at 299 (Conv2d_7b_1x1:
+    8x8x1536), residual-block repeat names, and a small-input forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from imitation_from_observation_tpu.models.inception_family import (
+        InceptionResnetV2,
+    )
+
+    m = InceptionResnetV2()
+    v = jax.eval_shape(lambda: m.init(
+        jax.random.key(0), jnp.zeros((1, 299, 299, 3), jnp.float32),
+        features_only=True))
+    ep = jax.eval_shape(
+        lambda p: m.apply(p, jnp.zeros((1, 299, 299, 3), jnp.float32),
+                          features_only=True), v)
+    assert ep["MaxPool_5a_3x3"].shape == (1, 35, 35, 192)
+    assert ep["Mixed_5b"].shape == (1, 35, 35, 320)
+    assert ep["Mixed_6a"].shape == (1, 17, 17, 1088)
+    assert ep["Mixed_7a"].shape == (1, 8, 8, 2080)
+    assert ep["Conv2d_7b_1x1"].shape == (1, 8, 8, 1536)
+    # slim's repeat scope names (the checkpoint contract): Repeat/block35_N,
+    # Repeat_1/block17_N, Repeat_2/block8_N + the final unscaled Block8
+    flat = jax.tree_util.tree_flatten_with_path(v)[0]
+    keys = {"/".join(str(getattr(p, "key", p)) for p in path) for path, _ in flat}
+    assert any("Repeat/block35_10/Conv2d_1x1/biases" in k for k in keys)
+    assert any("Repeat_1/block17_20/" in k for k in keys)
+    assert any("Repeat_2/block8_9/" in k for k in keys)
+    assert any(k.startswith("params/Block8/") for k in keys)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 96, 96, 3)), jnp.float32)
+    params = m.init(jax.random.key(1), x, features_only=True)
+    out = m.apply(params, x, features_only=True)
+    assert out["Conv2d_7b_1x1"].shape[-1] == 1536
+    assert np.all(np.isfinite(np.asarray(out["Conv2d_7b_1x1"])))
+
+
+def test_backbone_factory_inception_family():
+    from imitation_from_observation_tpu.models.backbones_extra import make_backbone
+
+    assert make_backbone("inception_v4")[1] == (299, 299)
+    assert make_backbone("inception_resnet_v2")[1] == (299, 299)
