@@ -40,7 +40,11 @@ import jax
 
 LOG = os.path.join(os.path.dirname(__file__), "results", "strike_inception_selfsup")
 EXPERT = os.path.join(os.path.dirname(__file__), "..", "data", "reference_experts", "expert_striker")
-N_DEMOS = 500
+# env-overridable so the queue can right-size the run to the TPU time that
+# remains in a round (relay outages are hours-long; see CLAUDE.md)
+N_DEMOS = int(os.environ.get("SELFSUP_DEMOS", "500"))
+RL_ITERS = int(os.environ.get("SELFSUP_RL_ITERS", "150"))
+TRANSLATION_ITERS = int(os.environ.get("SELFSUP_TRANSLATION_ITERS", "100000"))
 N_VALID = 60
 HW = (299, 299)
 # backbone keyed by demo count: the round-4 60-demo artifact must never be
@@ -106,9 +110,10 @@ run_strike_inception(
     backbone_tag=f"selfsup_time_n{N_DEMOS}",
     video_dir=video_dir,
     frames_cache=frames_cache,
-    rl_iters=150,
+    rl_iters=RL_ITERS,
     rl_batch_size=12_500,
     rl_n_envs=250,
+    translation_iters=TRANSLATION_ITERS,
     notes_caveat=f"""
 **Backbone provenance.** Pretrained IN-IMAGE on the {N_DEMOS} demo videos
 themselves: BN statistics calibrated (models/inception_v3.py::calibrate_bn)
@@ -122,7 +127,7 @@ delivers when the features are MEANINGFUL rather than a random projection
 (`strike_inception_demo/`).
 
 **Budget.** {N_DEMOS} demos (reference: 2,500 — run_train_strike_inception.py:39),
-translation 100k steps at batch 25, TRPO batch 12,500 (the reference's
-50x250) x 150 iterations (reference n_itr 200).
+translation {TRANSLATION_ITERS:,} steps at batch 25, TRPO batch 12,500 (the
+reference's 50x250) x {RL_ITERS} iterations (reference n_itr 200).
 """,
 )
