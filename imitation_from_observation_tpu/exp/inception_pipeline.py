@@ -93,6 +93,9 @@ def run_strike_inception(
     )
 
     timings: dict = {}
+    # log_dir must exist before stage 2's feature-cache np.save: when
+    # video_dir points at ANOTHER run's recordings nothing below creates it
+    os.makedirs(log_dir, exist_ok=True)
     expert = load_expert(expert_npz)
 
     # -- stage 1: 299x299 demo videos (batched raycast recording) -----------
