@@ -121,8 +121,12 @@ def run_strike_inception(
         video_len=cfg.env.horizon + 1, n_skip=cfg.train.n_skip, rescale=False,
         seed=0, cache_path=frames_cache or os.path.join(log_dir, "frames_u8.npy"),
     )
+    # bulk featurization fetches bf16 (halves the dominant d2h transfer;
+    # training stores device data bf16 anyway). The anchored SCORING
+    # feature_fn rebuilt below stays f32 on its device path.
     feature_fn = make_inception_feature_fn(
-        layer="Mixed_7c", params=backbone_params, npz_path=backbone_npz, input_size=hw
+        layer="Mixed_7c", params=backbone_params, npz_path=backbone_npz, input_size=hw,
+        fetch_dtype="bfloat16",
     )
     feat_cache = os.path.join(log_dir, f"feats_mixed7c_{backbone_tag}.npy")
     legacy_cache = os.path.join(log_dir, "feats_mixed7c.npy")

@@ -30,6 +30,7 @@ def make_inception_feature_fn(
     chunk: int = 64,
     pipeline_mesh=None,
     out_scale: float = 1.0,
+    fetch_dtype: str | None = None,
 ):
     """Build a jitted ``uint8 frames [B, H, W, 3] -> features`` function.
 
@@ -92,6 +93,17 @@ def make_inception_feature_fn(
         f = ep[layer]
         return f * jnp.float32(out_scale) if out_scale != 1.0 else f
 
+    # ``fetch_dtype='bfloat16'`` narrows ONLY the host-path fetch: Mixed_7c
+    # at 299x299 is ~0.5 MB/frame f32 and the relay's d2h transfer dominates
+    # bulk featurization (observed 2.2 frames/s at smoke scale) — halving the
+    # bytes halves the stage. chunk_fn (the engine's on-device scoring path)
+    # stays f32; downstream training stores device data in bf16 anyway.
+    if fetch_dtype is not None:
+        _fetch_dt = jnp.dtype(fetch_dtype)
+        _fetch_fn = jax.jit(lambda u8: _chunk_fn(u8).astype(_fetch_dt))
+    else:
+        _fetch_fn = _chunk_fn
+
     def feature_fn(frames_u8):
         import numpy as np
 
@@ -103,7 +115,7 @@ def make_inception_feature_fn(
                 frames_u8 = np.concatenate(
                     [frames_u8, np.repeat(frames_u8[-1:], pad, axis=0)]
                 )
-            return _chunk_fn(jnp.asarray(frames_u8))[:n]
+            return _fetch_fn(jnp.asarray(frames_u8))[:n]
         outs = []
         for s in range(0, n, chunk):
             outs.append(np.asarray(feature_fn(frames_u8[s : s + chunk])))

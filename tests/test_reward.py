@@ -455,3 +455,29 @@ def test_params_as_arguments_matches_baked(monkeypatch):
     eng_args.process(pb)
     for a, b in zip(pa, pb):
         np.testing.assert_allclose(a["rewards"], b["rewards"], rtol=1e-6, atol=1e-7)
+
+
+def test_feature_fn_bf16_fetch_matches_f32():
+    """fetch_dtype='bfloat16' (the bulk-featurize transfer optimization)
+    returns bf16 features that round-trip within bf16 tolerance of the f32
+    path, and leaves chunk_fn (the engine's device scoring path) f32."""
+    import jax.numpy as jnp
+
+    from imitation_from_observation_tpu.reward.backbones import (
+        make_inception_feature_fn,
+    )
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (5, 96, 96, 3), dtype=np.uint8)
+    f32 = make_inception_feature_fn(input_size=(96, 96), seed=3, chunk=4)
+    b16 = make_inception_feature_fn(
+        input_size=(96, 96), seed=3, chunk=4, fetch_dtype="bfloat16"
+    )
+    a = np.asarray(f32(frames), np.float32)
+    out = b16(frames)
+    assert jnp.asarray(out).dtype == jnp.bfloat16
+    b = np.asarray(out, np.float32)
+    assert a.shape == b.shape
+    denom = np.maximum(np.abs(a), 1e-3)
+    assert np.median(np.abs(a - b) / denom) < 1e-2  # bf16 has ~3 decimal digits
+    assert b16.chunk_fn(jnp.asarray(frames[:4])).dtype == jnp.float32
