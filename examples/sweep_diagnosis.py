@@ -52,7 +52,11 @@ os.makedirs(LOG, exist_ok=True)
 _ds = preset("sweep")
 _ds = _ds.replace(
     log_dir=BASE,
-    train=_ds.train.replace(n_iters=60_000, n_videos=1000, n_train=N_TRAIN),
+    # fused-scan rebuild (see throw_variants_seeds.py: identical semantics,
+    # ~90 ms/step relay dispatch amortized 500x)
+    train=_ds.train.replace(
+        n_iters=60_000, n_videos=1000, n_train=N_TRAIN, steps_per_call=500
+    ),
 )
 trainer = run_translation_training(
     _ds, os.path.join(BASE, "videos", "*.mp4"), resume=True

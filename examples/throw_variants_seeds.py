@@ -41,7 +41,13 @@ SEEDS = list(range(10, 16))
 _ds = preset("throw")
 _ds = _ds.replace(
     log_dir=BASE,
-    train=_ds.train.replace(n_iters=100_000, n_videos=2000, n_train=N_TRAIN),
+    # steps_per_call=500: the fused-scan trainer path — identical semantics
+    # (per-step PRNG keys on state.step, not on call boundaries) but ~90 ms
+    # of per-call relay dispatch amortized over 500 steps instead of 1
+    # (unfused, a 100k-step rebuild measured 11.4 steps/s on the chip)
+    train=_ds.train.replace(
+        n_iters=100_000, n_videos=2000, n_train=N_TRAIN, steps_per_call=500
+    ),
 )
 trainer = run_translation_training(
     _ds, os.path.join(BASE, "videos", "*.mp4"), resume=True
