@@ -109,13 +109,15 @@ def run_translation_training(
         # (trainer.py's fused-scan path), so the final checkpoint dir can be
         # any numeric dir >= n_iters — accept the smallest such complete one
         ckroot = os.path.join(log_dir, cfg.train.checkpoint_dir)
-        cand = []
+        cand, partial = [], []
         for d in _glob.glob(os.path.join(ckroot, "*")):
             name = os.path.basename(d)
-            if name.isdigit() and int(name) >= cfg.train.n_iters:
+            if name.isdigit():
                 hits = sorted(_glob.glob(os.path.join(d, "*.npz")))
                 if hits:
-                    cand.append((int(name), hits[0]))
+                    (cand if int(name) >= cfg.train.n_iters else partial).append(
+                        (int(name), hits[0])
+                    )
         if cand:
             hit = min(cand)[1]
             params = load_pytree(hit[: -len(".npz")], trainer.state.params)
@@ -123,6 +125,25 @@ def run_translation_training(
             get_logger().log(
                 f"translation: final checkpoint {hit} exists, skipping training"
             )
+            return trainer
+        if partial:
+            # a crashed/killed run left intermediate checkpoints: continue
+            # from the newest instead of burning the whole budget again.
+            # Params + step counter restore (the fused path's per-step PRNG
+            # keys on state.step, so batch sampling continues the original
+            # sequence); Adam moments are NOT checkpointed — the optimizer
+            # restarts with a brief warm-up transient, which beats a from-
+            # scratch rerun for a frozen-purpose model by a wide margin.
+            n0, hit = max(partial)
+            params = load_pytree(hit[: -len(".npz")], trainer.state.params)
+            trainer.state = trainer.state._replace(
+                params=params, step=trainer.state.step + n0
+            )
+            get_logger().log(
+                f"translation: resuming from partial checkpoint {hit} "
+                f"(step {n0}/{cfg.train.n_iters}; optimizer state reset)"
+            )
+            trainer.train(cfg.train.n_iters - n0, start_iter=n0)
             return trainer
     trainer.train()
     return trainer

@@ -322,7 +322,11 @@ class TranslationTrainer:
             self.mesh, tuple(jnp.asarray(b) for b in batch), axis=self.cfg.data_axis
         )
 
-    def train(self, n_iters: int | None = None) -> TrainState:
+    def train(self, n_iters: int | None = None, start_iter: int = 0) -> TrainState:
+        """Run ``n_iters`` optimizer steps. ``start_iter`` offsets the
+        iteration counter for partial-checkpoint resume (launchers restore
+        params + state.step first): checkpoint dirs, log rows, and cadence
+        crossings continue the original numbering."""
         cfg = self.cfg
         n_iters = n_iters if n_iters is not None else cfg.n_iters
         t0 = time.perf_counter()
@@ -338,7 +342,7 @@ class TranslationTrainer:
             return itr // every > (itr - K) // every
 
         pending = None  # metrics of the last dispatched (possibly in-flight) call
-        for itr in range(K, total + 1, K):
+        for itr in range(start_iter + K, start_iter + total + 1, K):
             # hand the relay to a waiting bench at the call boundary (a fused
             # call is seconds long; a 100k-step run is hours — see relay_coord).
             # The fused calls are dispatched async and only sync at log/eval

@@ -678,3 +678,45 @@ def test_run_bundles_drains_fanout_across_workers(tmp_path):
     assert json.loads(out.stdout[out.stdout.index("{"):]) == {
         "v0": 0, "v1": 0, "v2": 0,
     }
+
+
+def test_translation_partial_checkpoint_resume(tmp_path):
+    """A killed translation run resumes from its newest partial checkpoint:
+    numbering continues, only the remaining steps run, and the final
+    checkpoint lands at n_iters (launchers.run_translation_training)."""
+    import numpy as np
+
+    from imitation_from_observation_tpu.core.config import (
+        EnvConfig,
+        ExperimentConfig,
+        TrainConfig,
+        TranslationModelConfig,
+    )
+    from imitation_from_observation_tpu.exp.launchers import run_translation_training
+
+    rng = np.random.default_rng(0)
+    vdata = rng.uniform(-1, 1, (4, 6, 16, 16, 3)).astype(np.float32)
+    model = TranslationModelConfig(
+        model="context_skip", image_size=(16, 16), base_filters=8, feat_size=32
+    )
+    mk = lambda n: ExperimentConfig(
+        name="resume_test", log_dir=str(tmp_path),
+        env=EnvConfig(name="reacher3dof"), model=model,
+        train=TrainConfig(
+            batch_size=4, n_iters=n, n_train=4, steps_per_call=2,
+            eval_every=4, save_every=4, log_every=4,
+        ),
+    )
+    # phase 1: a "crashed" run that only got through 4 of 12 iters
+    run_translation_training(mk(4), video_glob="", vdata=vdata)
+    ck = tmp_path / "translation" / "checkpoints"
+    assert sorted(int(p.name) for p in ck.iterdir()) == [4]
+
+    # phase 2: ask for the full 12 with resume — must continue from 4
+    trainer = run_translation_training(mk(12), video_glob="", vdata=vdata, resume=True)
+    assert sorted(int(p.name) for p in ck.iterdir()) == [4, 8, 12]
+    assert int(trainer.state.step) == 12
+
+    # phase 3: complete run short-circuits entirely
+    t2 = run_translation_training(mk(12), video_glob="", vdata=vdata, resume=True)
+    assert int(t2.state.step) == 0  # params loaded, no training ran
