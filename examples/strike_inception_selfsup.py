@@ -43,7 +43,7 @@ EXPERT = os.path.join(os.path.dirname(__file__), "..", "data", "reference_expert
 # env-overridable so the queue can right-size the run to the TPU time that
 # remains in a round (relay outages are hours-long; see CLAUDE.md)
 N_DEMOS = int(os.environ.get("SELFSUP_DEMOS", "500"))
-RL_ITERS = int(os.environ.get("SELFSUP_RL_ITERS", "150"))
+RL_ITERS = int(os.environ.get("SELFSUP_RL_ITERS", "100"))
 TRANSLATION_ITERS = int(os.environ.get("SELFSUP_TRANSLATION_ITERS", "100000"))
 N_VALID = 60
 HW = (299, 299)
