@@ -194,11 +194,15 @@ def run_strike_inception(
                 f"stage 3: checkpoint anchor rms={prev_rms:.6g} != current "
                 f"{feat_rms:.6g} — retraining from scratch"
             )
-    t0 = time.time()
-    trainer = run_translation_training(cfg, video_glob="", vdata=feat_vdata, resume=resume)
+    # write the anchor BEFORE training: it describes the dataset (known
+    # now), and writing it after meant a killed run left no anchor — the
+    # retry then failed the resume gate and re-trained from step 0 even
+    # though partial checkpoints were on disk
     os.makedirs(os.path.dirname(anchor_path), exist_ok=True)
     with open(anchor_path, "w") as f:
         json.dump({"feat_rms": feat_rms}, f)
+    t0 = time.time()
+    trainer = run_translation_training(cfg, video_glob="", vdata=feat_vdata, resume=resume)
     timings["translation_s"] = round(time.time() - t0, 1)
 
     # -- stage 4: TRPO with oursinception reward ------------------------------
