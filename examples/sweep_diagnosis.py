@@ -96,6 +96,10 @@ LEGS = [
     ("scale_0.1", 0.1, 60),
     ("scale_10", 10.0, 60),
 ]
+if os.environ.get("SWEEP_DIAG_FAST"):
+    # deadline mode: the per-iteration reward decomposition is the
+    # VERDICT-requested evidence; the scale sweep is secondary
+    LEGS = LEGS[:1]
 for name, scale, iters in LEGS:
     cfg = base_cfg.replace(
         name=f"sweep_diag_{name}",
