@@ -216,8 +216,20 @@ def run_strike_inception(
     rl_cfg = cfg.replace(env=cfg.env.replace(**rl_context))
     n_train = cfg.train.n_train
     t0 = time.time()
+    # free the trainer's device residency before the RL stage: at 500 demos
+    # the bf16 feature dataset (3.4 GB) + ContextFeat params + Adam moments
+    # (~2.4 GB) are still alive on the 16 GB chip, and the engine's warmup
+    # featurize + device-frame scoring OOMed on top of them (round 5). The
+    # engine bakes params as jit constants, so a host copy serves fine.
+    import gc
+
+    import jax as _jax
+
+    params_host = _jax.device_get(trainer.state.params)
+    del trainer
+    gc.collect()
     policy, history = run_visual_trpo(
-        rl_cfg, params=trainer.state.params, demo_data=frames[:, n_train:],
+        rl_cfg, params=params_host, demo_data=frames[:, n_train:],
         feature_fn=feature_fn,
     )
     timings["rl_s"] = round(time.time() - t0, 1)
